@@ -1,0 +1,36 @@
+"""Test fixtures: force the CPU backend with 8 virtual devices BEFORE jax initializes,
+so mesh-sharded code paths are exercised without TPU hardware (the standard JAX testing
+recipe via --xla_force_host_platform_device_count).
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from thr3ed_atom_tpu.utils.constants import SEED  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def seed_everything():
+    np.random.seed(SEED)
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(SEED)
+
+
+@pytest.fixture
+def batch_size():
+    return 32
+
+
+@pytest.fixture
+def num_samples():
+    return 64

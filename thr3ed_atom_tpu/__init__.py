@@ -1,0 +1,10 @@
+"""thr3ed_atom_tpu — a TPU-native JAX re-design of the thre3d_atom radiance-field framework.
+
+A dense SH-feature voxel grid is optimized from posed RGB images via differentiable
+volumetric ray-marching, compiled end-to-end by XLA with a fused Pallas kernel on the
+hot path and mesh-sharded data parallelism for multi-chip scaling.
+
+Capability parity target: akanimax/thr3ed_atom (ReLU Fields, SIGGRAPH 2022 + 3inFusion).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,112 @@
+"""SH-voxel-grid render procedure + its hashable config.
+
+Parity: reference thre3d_atom/thre3d_reprs/renderers.py:28-102. The config is a frozen
+dataclass whose fields are all hashable statics (functions referenced by registry name),
+so it can be a jit static argument; per-call overrides go through
+``dataclasses.replace``-style updates (see modules/volumetric_model.py) instead of the
+reference's deepcopy+setattr.
+"""
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+
+from thr3ed_atom_tpu.models.voxels import VoxelGrid
+from thr3ed_atom_tpu.rendering.accumulate import (
+    DENSITY2OCCUPANCY,
+    TONE_MAPS,
+    accumulate_radiance_density_on_rays,
+)
+from thr3ed_atom_tpu.rendering.interface import Rays, RenderOut, render
+from thr3ed_atom_tpu.rendering.process import process_points_with_sh_voxel_grid
+from thr3ed_atom_tpu.rendering.sample import (
+    sample_aabb_bound_uniform_points_on_rays,
+    sample_uniform_points_on_rays,
+)
+from thr3ed_atom_tpu.utils.camera import CameraBounds
+
+
+@dataclasses.dataclass(frozen=True)
+class SHVoxGridRenderConfig:
+    """Static render configuration (hashable; safe as a jit static arg)."""
+
+    # probing config:
+    num_samples_per_ray: int
+    camera_bounds: CameraBounds
+    perturb_sampled_points: bool = True
+    optimized_sampling: bool = False
+
+    # accumulation config (registry names, not callables):
+    density2occupancy: str = "pb"
+    radiance_hdr_tone_map: str = "sigmoid"
+    stochastic_density_noise_std: float = 0.0
+    white_bkgd: bool = False
+
+    # misc render-mode config:
+    render_diffuse: bool = False
+    render_num_samples_per_ray: int = 1024
+    parallel_rays_chunk_size: int = 32768
+
+    def replace(self, **overrides) -> "SHVoxGridRenderConfig":
+        return dataclasses.replace(self, **overrides)
+
+
+def render_sh_voxel_grid(
+    voxel_grid: VoxelGrid,
+    rays: Rays,
+    render_config: SHVoxGridRenderConfig,
+    key: Optional[jax.Array] = None,
+) -> RenderOut:
+    """Wire sampler + SH point processor + accumulator into the 3-stage render().
+
+    Pure function of (grid pytree, rays pytree, key); ``render_config`` must be static.
+    Randomness (stratified jitter, density noise) consumes explicit subkeys.
+    """
+    if key is None:
+        sample_key = noise_key = None
+    else:
+        sample_key, noise_key = jax.random.split(key)
+
+    if render_config.optimized_sampling:
+        sampler_function = partial(
+            sample_aabb_bound_uniform_points_on_rays,
+            aabb=voxel_grid.aabb,
+            key=sample_key,
+            perturb=render_config.perturb_sampled_points,
+        )
+    else:
+        sampler_function = partial(
+            sample_uniform_points_on_rays,
+            key=sample_key,
+            perturb=render_config.perturb_sampled_points,
+        )
+
+    point_processor_function = partial(
+        process_points_with_sh_voxel_grid,
+        voxel_grid=voxel_grid,
+        render_diffuse=render_config.render_diffuse,
+    )
+
+    accumulator_function = partial(
+        accumulate_radiance_density_on_rays,
+        key=noise_key,
+        stochastic_density_noise_std=render_config.stochastic_density_noise_std,
+        density2occupancy=DENSITY2OCCUPANCY[render_config.density2occupancy],
+        radiance_hdr_tone_map=TONE_MAPS[render_config.radiance_hdr_tone_map],
+        white_bkgd=render_config.white_bkgd,
+        extra_debug_info=False,
+    )
+
+    return render(
+        rays,
+        camera_bounds=render_config.camera_bounds,
+        num_samples=render_config.num_samples_per_ray,
+        sampler_fn=sampler_function,
+        point_processor_fn=point_processor_function,
+        accumulator_fn=accumulator_function,
+    )
+
+
+# registry of render procedures by name — checkpoints reference these strings
+RENDER_PROCEDURES = {"render_sh_voxel_grid": render_sh_voxel_grid}
