@@ -1,0 +1,205 @@
+"""Training CLI: reconstruct an SH voxel grid from posed images.
+
+Same flag surface as the reference's
+thre3d_elements/relu_fields/train_sh_based_voxel_grid_with_posed_images.py:38-132, minus
+torch-specific knobs (num_workers — there is no dataloader; data lives in HBM).
+"""
+import sys
+from pathlib import Path
+
+import click
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax  # noqa: E402
+
+from thr3ed_atom_tpu.data.dataset import PosedImagesDataset  # noqa: E402
+from thr3ed_atom_tpu.models.voxels import (  # noqa: E402
+    VoxelGridLocation,
+    VoxelSize,
+    create_voxel_grid,
+)
+from thr3ed_atom_tpu.modules.trainer import (  # noqa: E402
+    train_sh_vox_grid_vol_mod_with_posed_images,
+)
+from thr3ed_atom_tpu.modules.volumetric_model import VolumetricModel  # noqa: E402
+from thr3ed_atom_tpu.rendering.rays import (  # noqa: E402
+    compute_expected_density_scale_for_relu_field_grid,
+)
+from thr3ed_atom_tpu.rendering.renderer import SHVoxGridRenderConfig  # noqa: E402
+from thr3ed_atom_tpu.utils.constants import NUM_COLOUR_CHANNELS, SEED  # noqa: E402
+from thr3ed_atom_tpu.utils.logging import log  # noqa: E402
+from thr3ed_atom_tpu.utils.misc import log_config_to_disk  # noqa: E402
+
+
+# fmt: off
+@click.command()
+# Required arguments:
+@click.option("-d", "--data_path", type=click.Path(file_okay=False, dir_okay=True),
+              required=True, help="path to the input dataset")
+@click.option("-o", "--output_path", type=click.Path(file_okay=False, dir_okay=True),
+              required=True, help="path for training output")
+# Input dataset related arguments:
+@click.option("--separate_train_test_folders", type=click.BOOL, default=True,
+              help="whether the data directory has separate train and test folders", show_default=True)
+@click.option("--data_downsample_factor", type=click.FloatRange(min=1.0), default=2.0,
+              help="downscale factor for the input images", show_default=True)
+# Voxel-grid related arguments:
+@click.option("--grid_dims", type=click.INT, nargs=3, default=(256, 256, 256),
+              help="dimensions (#voxels) of the grid along x, y and z axes", show_default=True)
+@click.option("--grid_location", type=click.FLOAT, nargs=3, default=(0.0, 0.0, 0.0),
+              help="world location of the grid center", show_default=True)
+@click.option("--normalize_scene_scale", type=click.BOOL, default=False,
+              help="whether to normalize the scene's scale to unit radius", show_default=True)
+@click.option("--grid_world_size", type=click.FLOAT, nargs=3, default=(3.0, 3.0, 3.0),
+              help="size (extent) of the grid in world coordinate system", show_default=True)
+@click.option("--sh_degree", type=click.INT, default=2,
+              help="degree of the spherical harmonics coefficients. Supported: [0, 1, 2, 3]",
+              show_default=True)
+@click.option("--use_relu_field", type=click.BOOL, default=True,
+              help="whether to use relu_fields or revert to traditional grids", show_default=True)
+@click.option("--use_softplus_field", type=click.BOOL, default=False,
+              help="whether to use softplus_field instead of relu_field", show_default=True)
+# Rendering related arguments:
+@click.option("--render_num_samples_per_ray", type=click.INT, default=1024,
+              help="number of samples taken per ray during rendering", show_default=True)
+@click.option("--parallel_rays_chunk_size", type=click.INT, default=32768,
+              help="number of parallel rays per render chunk", show_default=True)
+@click.option("--white_bkgd", type=click.BOOL, default=True,
+              help="whether to use white background for synthetic scenes", show_default=True)
+# Training related arguments:
+@click.option("--ray_batch_size", type=click.INT, default=16384,
+              help="number of randomly sampled rays per training iteration", show_default=True)
+@click.option("--train_num_samples_per_ray", type=click.INT, default=512,
+              help="number of samples taken per ray during training", show_default=True)
+@click.option("--num_stages", type=click.INT, default=4,
+              help="number of progressive growing stages", show_default=True)
+@click.option("--num_iterations_per_stage", type=click.INT, default=7000,
+              help="training iterations per stage", show_default=True)
+@click.option("--scale_factor", type=click.FLOAT, default=2.0,
+              help="grid up-scale factor after each stage", show_default=True)
+@click.option("--learning_rate", type=click.FLOAT, default=0.03,
+              help="initial Adam learning rate", show_default=True)
+@click.option("--lr_decay_steps_per_stage", type=click.INT, default=3000,
+              help="iterations between exponential lr decays within a stage", show_default=True)
+@click.option("--lr_decay_gamma_per_stage", type=click.FLOAT, default=0.1,
+              help="per-stage exponential lr decay gamma", show_default=True)
+@click.option("--stagewise_lr_decay_gamma", type=click.FLOAT, default=1.0,
+              help="lr reduction factor applied after each stage", show_default=True)
+@click.option("--apply_diffuse_render_regularization", type=click.BOOL, default=True,
+              help="whether to apply the diffuse render regularization", show_default=True)
+@click.option("--use_mesh", type=click.BOOL, default=False,
+              help="shard the ray batch across all local devices (data parallel)", show_default=True)
+# Various frequencies:
+@click.option("--save_frequency", type=click.INT, default=250, show_default=True)
+@click.option("--test_frequency", type=click.INT, default=250, show_default=True)
+@click.option("--feedback_frequency", type=click.INT, default=100, show_default=True)
+@click.option("--summary_frequency", type=click.INT, default=50, show_default=True)
+# Miscellaneous modes:
+@click.option("--verbose_rendering", type=click.BOOL, default=False, show_default=True)
+@click.option("--fast_debug_mode", type=click.BOOL, default=False,
+              help="skips testing and some lengthy visualizations", show_default=True)
+# fmt: on
+def main(**config) -> None:
+    data_path = Path(config["data_path"])
+    output_path = Path(config["output_path"])
+
+    log.info("logging configuration file ...")
+    log_config_to_disk(config, output_path)
+
+    if config["separate_train_test_folders"]:
+        train_dataset, test_dataset = (
+            PosedImagesDataset(
+                images_dir=data_path / mode,
+                camera_params_json=data_path / f"{mode}_camera_params.json",
+                normalize_scene_scale=config["normalize_scene_scale"],
+                downsample_factor=config["data_downsample_factor"],
+                rgba_white_bkgd=config["white_bkgd"],
+            )
+            for mode in ("train", "test")
+        )
+    else:
+        train_dataset = PosedImagesDataset(
+            images_dir=data_path / "images",
+            camera_params_json=data_path / "camera_params.json",
+            normalize_scene_scale=config["normalize_scene_scale"],
+            downsample_factor=config["data_downsample_factor"],
+            rgba_white_bkgd=config["white_bkgd"],
+        )
+        test_dataset = None
+
+    # density activation mode (reference train CLI :169-192; terminology from DVGO)
+    if config["use_relu_field"]:
+        activations = {
+            "density_preactivation": "identity",
+            "density_postactivation": "relu",
+            "expected_density_scale": compute_expected_density_scale_for_relu_field_grid(
+                config["grid_world_size"]
+            ),
+        }
+    elif config["use_softplus_field"]:
+        activations = {
+            "density_preactivation": "identity",
+            "density_postactivation": "softplus",
+            "expected_density_scale": compute_expected_density_scale_for_relu_field_grid(
+                config["grid_world_size"]
+            ),
+        }
+    else:
+        activations = {
+            "density_preactivation": "abs",
+            "density_postactivation": "identity",
+            "expected_density_scale": 1.0,
+        }
+
+    grid_dims = tuple(config["grid_dims"])
+    voxel_size = VoxelSize(
+        *[extent / dim for extent, dim in zip(config["grid_world_size"], grid_dims)]
+    )
+    num_sh_features = NUM_COLOUR_CHANNELS * ((config["sh_degree"] + 1) ** 2)
+    voxel_grid = create_voxel_grid(
+        jax.random.PRNGKey(SEED),
+        grid_dims=grid_dims,
+        num_features=num_sh_features,
+        voxel_size=voxel_size,
+        grid_location=VoxelGridLocation(*config["grid_location"]),
+        **activations,
+    )
+
+    vol_mod = VolumetricModel(
+        thre3d_repr=voxel_grid,
+        render_config=SHVoxGridRenderConfig(
+            num_samples_per_ray=config["train_num_samples_per_ray"],
+            camera_bounds=train_dataset.camera_bounds,
+            white_bkgd=config["white_bkgd"],
+            render_num_samples_per_ray=config["render_num_samples_per_ray"],
+            parallel_rays_chunk_size=config["parallel_rays_chunk_size"],
+        ),
+    )
+
+    train_sh_vox_grid_vol_mod_with_posed_images(
+        vol_mod=vol_mod,
+        train_dataset=train_dataset,
+        output_dir=output_path,
+        test_dataset=test_dataset,
+        ray_batch_size=config["ray_batch_size"],
+        num_stages=config["num_stages"],
+        num_iterations_per_stage=config["num_iterations_per_stage"],
+        scale_factor=config["scale_factor"],
+        learning_rate=config["learning_rate"],
+        lr_decay_gamma_per_stage=config["lr_decay_gamma_per_stage"],
+        lr_decay_steps_per_stage=config["lr_decay_steps_per_stage"],
+        stagewise_lr_decay_gamma=config["stagewise_lr_decay_gamma"],
+        save_freq=config["save_frequency"],
+        test_freq=config["test_frequency"],
+        feedback_freq=config["feedback_frequency"],
+        summary_freq=config["summary_frequency"],
+        apply_diffuse_render_regularization=config["apply_diffuse_render_regularization"],
+        use_mesh=config["use_mesh"],
+        verbose_rendering=config["verbose_rendering"],
+        fast_debug_mode=config["fast_debug_mode"],
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Benchmark: rays/sec on the reference's render-speed harness shapes.
+
+Mirrors the reference's benchmark harness (thre3d_atom/thre3d_reprs/tests/
+test_voxels.py:137-209): 128^3 SH voxel grid (degree 2 -> 27 features + density),
+400x400 image, 256 samples per ray, averaged over random orbit poses, deterministic
+no-grad rendering of colour+depth+acc+disparity. The scene is a realistic sparse one
+(procedural density blobs, ~5% occupancy) rather than random noise, so transmittance
+behaves like a trained model's.
+
+Uses the TPU-native two-phase renderer (rendering/fast_renderer.py): cell-packed
+corner tables + top-64 feature shading; depth/acc are exact, colour is at float
+precision vs the exact path (tests/test_fast_renderer.py).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "rays/sec", "vs_baseline": N}
+vs_baseline is value / 50e6 — the driver-imposed >=50M rays/sec/chip target (BASELINE.md).
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+
+GRID_SIZE = 128
+IMAGE_SIZE = 400
+NUM_SAMPLES = 256
+NUM_POSES = 5
+TARGET_RAYS_PER_SEC = 50e6
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from make_synthetic_dataset import make_blob_scene
+    from thr3ed_atom_tpu.modules.volumetric_model import VolumetricModel
+    from thr3ed_atom_tpu.rendering.renderer import SHVoxGridRenderConfig
+    from thr3ed_atom_tpu.utils.camera import (
+        CameraBounds,
+        CameraIntrinsics,
+        pose_spherical,
+    )
+
+    grid = make_blob_scene(grid_size=GRID_SIZE, seed=3)
+    config = SHVoxGridRenderConfig(
+        num_samples_per_ray=NUM_SAMPLES,
+        camera_bounds=CameraBounds(2.0, 6.0),
+        perturb_sampled_points=False,
+        optimized_sampling=True,
+        white_bkgd=True,
+        parallel_rays_chunk_size=20000,
+        fast_topk=64,
+    )
+    vol_mod = VolumetricModel(
+        grid, render_procedure="render_sh_voxel_grid_fast", render_config=config
+    )
+    intrinsics = CameraIntrinsics(IMAGE_SIZE, IMAGE_SIZE, IMAGE_SIZE * 1.1)
+
+    rng = np.random.default_rng(42)
+    poses = [
+        pose_spherical(rng.uniform(0, 360), rng.uniform(-90, 0), 4.0)
+        for _ in range(NUM_POSES + 1)
+    ]
+
+    # warmup / compile (first pose)
+    out = vol_mod.render(poses[0], intrinsics)
+    float(jnp.sum(out.colour))
+
+    start = time.perf_counter()
+    for pose in poses[1:]:
+        out = vol_mod.render(pose, intrinsics)
+        float(jnp.sum(out.colour))  # sync with a scalar transfer only
+    elapsed = time.perf_counter() - start
+
+    total_rays = NUM_POSES * IMAGE_SIZE * IMAGE_SIZE
+    rays_per_sec = total_rays / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": f"render rays/sec/chip ({GRID_SIZE}^3 grid, {IMAGE_SIZE}x{IMAGE_SIZE}, {NUM_SAMPLES} spp)",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/sec",
+                "vs_baseline": round(rays_per_sec / TARGET_RAYS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -10,6 +10,11 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# the env var alone is not honored when a TPU PJRT plugin (axon) is registered;
+# the config update forces the CPU backend with the 8 virtual devices from XLA_FLAGS
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

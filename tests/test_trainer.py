@@ -1,0 +1,243 @@
+"""End-to-end training tests on a synthetic scene (CPU-runnable smoke config).
+
+A ground-truth voxel grid renders the training images; a freshly initialized grid must
+then reconstruct the scene to a sane PSNR within a few hundred steps. This replaces the
+reference's dependence on downloaded NeRF-synthetic data (reference conftest.py:13-15).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from thr3ed_atom_tpu.models.voxels import VoxelSize, create_voxel_grid
+from thr3ed_atom_tpu.modules.trainer import TrainStepStatics, _train_step
+from thr3ed_atom_tpu.modules.volumetric_model import VolumetricModel
+from thr3ed_atom_tpu.rendering.renderer import SHVoxGridRenderConfig
+from thr3ed_atom_tpu.utils.camera import CameraBounds, CameraIntrinsics, pose_spherical
+
+IMAGE_SIZE = 48
+FOCAL = IMAGE_SIZE * 1.1
+NUM_IMAGES = 8
+GRID = 12
+TRAIN_SAMPLES = 48
+
+
+def _ground_truth_scene():
+    rng = np.random.default_rng(5)
+    coords = (
+        np.stack(np.meshgrid(*[np.arange(GRID)] * 3, indexing="ij"), -1) - (GRID - 1) / 2
+    ) / GRID
+    dist = np.linalg.norm(coords - np.array([0.05, -0.05, 0.0]), axis=-1)
+    densities = np.where(dist < 0.3, 8.0, 0.0)[..., None].astype(np.float32)
+    features = np.zeros((GRID, GRID, GRID, 3), dtype=np.float32)
+    features[..., 0] = 3.0
+    features[..., 1] = -1.0
+    features[..., 2] = rng.uniform(-2, 0)
+    from thr3ed_atom_tpu.models.voxels import VoxelGrid
+
+    return VoxelGrid(
+        densities=jnp.asarray(densities),
+        features=jnp.asarray(features),
+        voxel_size=VoxelSize(3.0 / GRID, 3.0 / GRID, 3.0 / GRID),
+    )
+
+
+@pytest.fixture(scope="module")
+def synthetic_data():
+    grid = _ground_truth_scene()
+    intrinsics = CameraIntrinsics(IMAGE_SIZE, IMAGE_SIZE, FOCAL)
+    config = SHVoxGridRenderConfig(
+        num_samples_per_ray=96,
+        camera_bounds=CameraBounds(2.0, 6.0),
+        perturb_sampled_points=False,
+        white_bkgd=True,
+    )
+    vol_mod = VolumetricModel(grid, render_config=config)
+    rng = np.random.default_rng(7)
+    images, poses = [], []
+    for _ in range(NUM_IMAGES):
+        pose = pose_spherical(rng.uniform(0, 360), rng.uniform(-60, -20), 4.0)
+        out = vol_mod.render(pose, intrinsics)
+        images.append(np.asarray(out.colour))
+        poses.append(np.hstack([pose.rotation, pose.translation]))
+    return (
+        jnp.asarray(np.stack(images)),
+        jnp.asarray(np.stack(poses).astype(np.float32)),
+        intrinsics,
+    )
+
+
+def _fresh_model():
+    grid = create_voxel_grid(
+        jax.random.PRNGKey(0),
+        grid_dims=(GRID, GRID, GRID),
+        num_features=3,
+        voxel_size=VoxelSize(3.0 / GRID, 3.0 / GRID, 3.0 / GRID),
+        density_preactivation="identity",
+        density_postactivation="relu",
+        expected_density_scale=10.0,
+    )
+    config = SHVoxGridRenderConfig(
+        num_samples_per_ray=TRAIN_SAMPLES,
+        camera_bounds=CameraBounds(2.0, 6.0),
+        white_bkgd=True,
+    )
+    return grid, config
+
+
+def test_train_step_improves_psnr(synthetic_data):
+    images, poses, intrinsics = synthetic_data
+    grid, render_config = _fresh_model()
+
+    statics = TrainStepStatics(
+        render_config=render_config,
+        image_height=intrinsics.height,
+        image_width=intrinsics.width,
+        focal=intrinsics.focal,
+        ray_batch_size=1024,
+        apply_diffuse_render_regularization=True,
+    )
+    tx = optax.adam(0.05)
+    key = jax.random.PRNGKey(1)
+
+    # the step donates grid/opt_state; use copies so the fixture grid survives
+    copy = lambda tree: jax.tree_util.tree_map(jnp.copy, tree)  # noqa: E731
+    key, sub = jax.random.split(key)
+    _, _, first_metrics = _train_step(
+        statics, tx, copy(grid), tx.init(grid), images, poses, sub
+    )
+    first_psnr = float(first_metrics["specular_psnr"])
+
+    opt_state = tx.init(grid)
+    grid = copy(grid)
+    for _ in range(150):
+        key, sub = jax.random.split(key)
+        grid, opt_state, metrics = _train_step(
+            statics, tx, grid, opt_state, images, poses, sub
+        )
+    final_psnr = float(metrics["specular_psnr"])
+
+    assert np.isfinite(final_psnr)
+    assert final_psnr > first_psnr + 5.0, (
+        f"PSNR did not improve: {first_psnr:.2f} -> {final_psnr:.2f}"
+    )
+    assert final_psnr > 20.0, f"final PSNR too low: {final_psnr:.2f}"
+
+
+def test_train_step_metrics_structure(synthetic_data):
+    images, poses, intrinsics = synthetic_data
+    grid, render_config = _fresh_model()
+    statics = TrainStepStatics(
+        render_config=render_config,
+        image_height=intrinsics.height,
+        image_width=intrinsics.width,
+        focal=intrinsics.focal,
+        ray_batch_size=256,
+        apply_diffuse_render_regularization=False,
+    )
+    tx = optax.adam(0.01)
+    new_grid, _, metrics = _train_step(
+        statics,
+        tx,
+        jax.tree_util.tree_map(jnp.copy, grid),
+        tx.init(grid),
+        images,
+        poses,
+        jax.random.PRNGKey(2),
+    )
+    assert set(metrics) == {"specular_loss", "specular_psnr", "total_loss"}
+    # parameters actually moved
+    assert not np.allclose(np.asarray(new_grid.densities), np.asarray(grid.densities))
+
+
+def test_full_training_procedure_smoke(tmp_path, synthetic_data):
+    """The complete coarse-to-fine procedure end-to-end with a tiny config."""
+    import json
+
+    import imageio.v2 as imageio
+
+    from thr3ed_atom_tpu.data.dataset import PosedImagesDataset
+    from thr3ed_atom_tpu.modules.trainer import (
+        train_sh_vox_grid_vol_mod_with_posed_images,
+    )
+    from thr3ed_atom_tpu.modules.volumetric_model import (
+        create_volumetric_model_from_saved_model,
+    )
+    from thr3ed_atom_tpu.utils.camera import to8b
+    from thr3ed_atom_tpu.utils.constants import (
+        BOUNDS,
+        EXTRINSIC,
+        FOCAL as FOCAL_KEY,
+        HEIGHT,
+        INTRINSIC,
+        ROTATION,
+        TRANSLATION,
+        WIDTH,
+    )
+
+    images, poses, intrinsics = synthetic_data
+
+    # write the dataset in the on-disk contract
+    img_dir = tmp_path / "train"
+    img_dir.mkdir()
+    params = {}
+    for i in range(NUM_IMAGES):
+        name = f"r_{i}.png"
+        imageio.imwrite(img_dir / name, to8b(np.asarray(images[i])))
+        pose = np.asarray(poses[i])
+        params[name] = {
+            INTRINSIC: {
+                BOUNDS: [2.0, 6.0],
+                HEIGHT: IMAGE_SIZE,
+                WIDTH: IMAGE_SIZE,
+                FOCAL_KEY: FOCAL,
+            },
+            EXTRINSIC: {
+                ROTATION: pose[:, :3].tolist(),
+                TRANSLATION: pose[:, 3:].tolist(),
+            },
+        }
+    with open(tmp_path / "train_camera_params.json", "w") as f:
+        json.dump(params, f)
+
+    dataset = PosedImagesDataset(
+        images_dir=img_dir,
+        camera_params_json=tmp_path / "train_camera_params.json",
+    )
+
+    grid, render_config = _fresh_model()
+    vol_mod = VolumetricModel(grid, render_config=render_config)
+    out_dir = tmp_path / "output"
+
+    train_sh_vox_grid_vol_mod_with_posed_images(
+        vol_mod=vol_mod,
+        train_dataset=dataset,
+        output_dir=out_dir,
+        ray_batch_size=512,
+        num_stages=2,
+        num_iterations_per_stage=30,
+        scale_factor=2.0,
+        learning_rate=0.05,
+        lr_decay_steps_per_stage=20,
+        save_freq=1000,
+        test_freq=1000,
+        feedback_freq=1000,
+        summary_freq=10,
+        fast_debug_mode=True,
+        verbose_rendering=False,
+    )
+
+    # final checkpoint written and loadable
+    final = out_dir / "saved_models" / "model_final"
+    assert final.with_suffix(".npz").exists() and final.with_suffix(".json").exists()
+    loaded, extra = create_volumetric_model_from_saved_model(final)
+    assert loaded.thre3d_repr.grid_dims == (GRID, GRID, GRID)
+    assert "hemispherical_radius" in extra
+    np.testing.assert_allclose(
+        np.asarray(loaded.thre3d_repr.densities),
+        np.asarray(vol_mod.thre3d_repr.densities),
+        atol=1e-6,
+    )

@@ -8,3 +8,16 @@ Capability parity target: akanimax/thr3ed_atom (ReLU Fields, SIGGRAPH 2022 + 3in
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS even when a TPU PJRT plugin is registered: with some plugins the
+# env var alone is silently ignored; the config update (applied before the backend is
+# first used) is authoritative. No-op when the env var is unset or jax is already live.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass

@@ -1,0 +1,393 @@
+"""Coarse-to-fine reconstruction trainer for SH voxel grids from posed images.
+
+Parity: reference thre3d_atom/modules/trainers.py:49-514, re-designed TPU-first:
+
+  * ONE jitted train step contains the whole hot loop body (reference trainers.py:271-341):
+    ray/pixel batch sampling, ray casting from poses, specular + diffuse renders, L1
+    losses, backward, Adam update. No per-iteration host work beyond the step call.
+  * images/poses live in device HBM for the whole stage (the reference's GPU-cache tier
+    made mandatory, datasets.py:77-115); ray batches are gathered in-jit.
+  * stagewise grid growth is a jitted trilinear resize; each stage gets its own jit cache
+    entry (4 total for the canonical recipe) since array shapes change.
+  * optax.adam + exponential_decay(staircase) replaces torch Adam + ExponentialLR stepped
+    every ``lr_decay_steps_per_stage`` (trainers.py:242-250, 389-393).
+  * optional 1-D device mesh: ray batch shards across chips, grid replicates, XLA emits
+    the gradient psum over ICI (see parallel/mesh.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from datetime import timedelta
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from thr3ed_atom_tpu.data.dataset import PosedImagesDataset
+from thr3ed_atom_tpu.models.voxels import (
+    VoxelGrid,
+    scale_voxel_grid_with_required_output_size,
+)
+from thr3ed_atom_tpu.modules.volumetric_model import VolumetricModel
+from thr3ed_atom_tpu.parallel.mesh import replicate, shard_batch
+from thr3ed_atom_tpu.rendering.interface import Rays
+from thr3ed_atom_tpu.rendering.renderer import (
+    SHVoxGridRenderConfig,
+    render_sh_voxel_grid,
+)
+from thr3ed_atom_tpu.utils.camera import CameraIntrinsics, CameraPose
+from thr3ed_atom_tpu.utils.constants import (
+    CAMERA_BOUNDS,
+    CAMERA_INTRINSICS,
+    HEMISPHERICAL_RADIUS,
+)
+from thr3ed_atom_tpu.utils.logging import log
+from thr3ed_atom_tpu.utils.metrics import mse2psnr
+from thr3ed_atom_tpu.utils.misc import compute_thre3d_grid_sizes
+
+
+# ---------------------------------------------------------------------------- train step
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainStepStatics:
+    """Hashable statics that select the compiled train step."""
+
+    render_config: SHVoxGridRenderConfig
+    image_height: int
+    image_width: int
+    focal: float
+    ray_batch_size: int
+    apply_diffuse_render_regularization: bool = True
+    use_mesh: bool = False
+
+
+def _sample_ray_pixel_batch(
+    key: jax.Array,
+    images: jnp.ndarray,  # [N, H, W, 3]
+    poses: jnp.ndarray,  # [N, 3, 4]
+    statics: TrainStepStatics,
+) -> Tuple[Rays, jnp.ndarray]:
+    """Uniformly draw (image, pixel) pairs and cast their rays in-jit.
+
+    TPU-native counterpart of the reference's cast-all-rays + randperm + slice
+    (trainers.py:281-301): instead of materializing B*H*W rays per iteration, we draw
+    ray_batch_size (image, pixel) indices over the WHOLE dataset and compute exactly
+    those rays from the pose array. Uniform over all images is a strict superset of the
+    reference's uniform-over-8-cached-images distribution.
+    """
+    height, width, focal = statics.image_height, statics.image_width, statics.focal
+    num_images = images.shape[0]
+    batch = statics.ray_batch_size
+
+    key_img, key_pix = jax.random.split(key)
+    img_idx = jax.random.randint(key_img, (batch,), 0, num_images)
+    pix_idx = jax.random.randint(key_pix, (batch,), 0, height * width)
+    py = pix_idx // width
+    px = pix_idx % width
+
+    pixels = images[img_idx, py, px]  # [B, 3]
+
+    # pinhole directions through pixel centers (parity with rays.cast_rays)
+    x = px.astype(jnp.float32) + 0.5
+    y = py.astype(jnp.float32) + 0.5
+    dirs_cam = jnp.stack(
+        [
+            (x - width * 0.5) / focal,
+            -(y - height * 0.5) / focal,
+            -jnp.ones_like(x),
+        ],
+        axis=-1,
+    )  # [B, 3]
+
+    rotations = poses[img_idx, :, :3]  # [B, 3, 3]
+    translations = poses[img_idx, :, 3]  # [B, 3]
+    rays_d = jnp.einsum("bij,bj->bi", rotations, dirs_cam)
+    return Rays(origins=translations, directions=rays_d), pixels
+
+
+@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3))
+def _train_step(
+    statics: TrainStepStatics,
+    tx: optax.GradientTransformation,
+    grid: VoxelGrid,
+    opt_state,
+    images: jnp.ndarray,
+    poses: jnp.ndarray,
+    key: jax.Array,
+):
+    """One fused optimization step; returns (grid, opt_state, metrics)."""
+    key_batch, key_specular, key_diffuse = jax.random.split(key, 3)
+    rays, pixels = _sample_ray_pixel_batch(key_batch, images, poses, statics)
+
+    if statics.use_mesh:
+        from thr3ed_atom_tpu.parallel.mesh import make_data_mesh
+
+        mesh = make_data_mesh()
+        rays = shard_batch(mesh, rays)
+        pixels = shard_batch(mesh, pixels)
+        grid = replicate(mesh, grid)
+
+    specular_config = statics.render_config
+    diffuse_config = statics.render_config.replace(render_diffuse=True)
+
+    def loss_fn(g: VoxelGrid):
+        specular = render_sh_voxel_grid(g, rays, specular_config, key_specular)
+        specular_loss = jnp.mean(jnp.abs(specular.colour - pixels))
+        specular_mse = jnp.mean((specular.colour - pixels) ** 2)
+        total = specular_loss
+        aux = {
+            "specular_loss": specular_loss,
+            "specular_psnr": mse2psnr(specular_mse),
+        }
+        if statics.apply_diffuse_render_regularization:
+            diffuse = render_sh_voxel_grid(g, rays, diffuse_config, key_diffuse)
+            diffuse_loss = jnp.mean(jnp.abs(diffuse.colour - pixels))
+            diffuse_mse = jnp.mean((diffuse.colour - pixels) ** 2)
+            total = total + diffuse_loss
+            aux |= {
+                "diffuse_loss": diffuse_loss,
+                "diffuse_psnr": mse2psnr(diffuse_mse),
+            }
+        aux["total_loss"] = total
+        return total, aux
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(grid)
+    updates, opt_state = tx.update(grads, opt_state, grid)
+    grid = optax.apply_updates(grid, updates)
+    return grid, opt_state, metrics
+
+
+# ------------------------------------------------------------------------- procedure
+
+
+def train_sh_vox_grid_vol_mod_with_posed_images(
+    vol_mod: VolumetricModel,
+    train_dataset: PosedImagesDataset,
+    output_dir: Path,
+    test_dataset: Optional[PosedImagesDataset] = None,
+    ray_batch_size: int = 32768,
+    num_stages: int = 4,
+    num_iterations_per_stage: int = 2000,
+    scale_factor: float = 2.0,
+    learning_rate: float = 0.03,
+    lr_decay_gamma_per_stage: float = 0.1,
+    lr_decay_steps_per_stage: int = 1000,
+    stagewise_lr_decay_gamma: float = 0.9,
+    render_feedback_pose: Optional[CameraPose] = None,
+    save_freq: int = 1000,
+    test_freq: int = 1000,
+    feedback_freq: int = 100,
+    summary_freq: int = 10,
+    apply_diffuse_render_regularization: bool = True,
+    use_mesh: bool = False,
+    verbose_rendering: bool = True,
+    fast_debug_mode: bool = False,
+    seed: int = 42,
+) -> VolumetricModel:
+    """Coarse-to-fine training loop (reference trainers.py:49-491 anatomy preserved):
+    per stage — fresh Adam at stagewise-decayed LR, exponential in-stage decay, jitted
+    hot loop, periodic TB summaries / feedback renders / heldout tests / checkpoints;
+    between stages — 2x trilinear grid growth."""
+    from tensorboardX import SummaryWriter
+
+    from thr3ed_atom_tpu.modules.tester import (
+        test_sh_vox_grid_vol_mod_with_posed_images,
+    )
+    from thr3ed_atom_tpu.visualizations.static import (
+        visualize_camera_rays,
+        visualize_sh_vox_grid_vol_mod_rendered_feedback,
+    )
+
+    output_dir = Path(output_dir)
+    model_dir = output_dir / "saved_models"
+    logs_dir = output_dir / "training_logs"
+    tensorboard_dir = logs_dir / "tensorboard"
+    render_dir = logs_dir / "rendered_output"
+    for directory in (model_dir, logs_dir, tensorboard_dir, render_dir):
+        directory.mkdir(exist_ok=True, parents=True)
+
+    # stage plan
+    stagewise_voxel_grid_sizes = compute_thre3d_grid_sizes(
+        final_required_resolution=vol_mod.thre3d_repr.grid_dims,
+        num_stages=num_stages,
+        scale_factor=scale_factor,
+    )
+
+    # per-stage downsampled datasets (reference trainers.py:131-139)
+    dataset_config = train_dataset.get_config_dict()
+    base_downsample = dataset_config["downsample_factor"]
+    stagewise_train_datasets = [train_dataset]
+    for stage in range(1, num_stages):
+        config = dict(dataset_config)
+        config["downsample_factor"] = base_downsample * (scale_factor**stage)
+        stagewise_train_datasets.insert(0, PosedImagesDataset(**config))
+
+    # downscale grid to the smallest stage size and re-init from uniform(-1, 1)
+    key = jax.random.PRNGKey(seed)
+    key, key_d, key_f = jax.random.split(key, 3)
+    small_grid = scale_voxel_grid_with_required_output_size(
+        vol_mod.thre3d_repr, output_size=stagewise_voxel_grid_sizes[0]
+    )
+    vol_mod.thre3d_repr = dataclasses.replace(
+        small_grid,
+        densities=jax.random.uniform(
+            key_d, small_grid.densities.shape, minval=-1.0, maxval=1.0
+        ),
+        features=jax.random.uniform(
+            key_f, small_grid.features.shape, minval=-1.0, maxval=1.0
+        ),
+    )
+
+    # feedback pose: first test (or train) image's pose
+    feedback_dataset = test_dataset if test_dataset is not None else train_dataset
+    real_feedback_image = None
+    if render_feedback_pose is None:
+        pose0 = feedback_dataset.poses[0]
+        render_feedback_pose = CameraPose(
+            rotation=pose0[:, :3], translation=pose0[:, 3:]
+        )
+        real_feedback_image = feedback_dataset.images[0]
+
+    if real_feedback_image is not None:
+        import imageio.v2 as imageio
+
+        from thr3ed_atom_tpu.utils.camera import to8b
+
+        imageio.imwrite(render_dir / "1__real_log.png", to8b(real_feedback_image))
+
+    camera_bounds = train_dataset.camera_bounds
+    camera_intrinsics = train_dataset.camera_intrinsics
+    dataset_size = len(train_dataset) * camera_intrinsics.height * camera_intrinsics.width
+
+    tensorboard_writer = SummaryWriter(str(tensorboard_dir))
+
+    if not fast_debug_mode:
+        log.info("creating camera-rays visualization...")
+        visualize_camera_rays(train_dataset, output_dir, num_rays_per_image=1)
+
+    log.info("beginning training")
+    time_spent_actually_training = 0.0
+
+    extra_info = {
+        CAMERA_BOUNDS: list(camera_bounds),
+        CAMERA_INTRINSICS: list(camera_intrinsics),
+        HEMISPHERICAL_RADIUS: train_dataset.get_hemispherical_radius_estimate(),
+    }
+
+    for stage in range(1, num_stages + 1):
+        stage_dataset = stagewise_train_datasets[stage - 1]
+        stage_intrinsics = stage_dataset.camera_intrinsics
+        images = jnp.asarray(stage_dataset.images)
+        poses = jnp.asarray(stage_dataset.poses)
+
+        current_stage_lr = learning_rate * (stagewise_lr_decay_gamma ** (stage - 1))
+        schedule = optax.exponential_decay(
+            init_value=current_stage_lr,
+            transition_steps=lr_decay_steps_per_stage,
+            decay_rate=lr_decay_gamma_per_stage,
+            staircase=True,
+        )
+        tx = optax.adam(learning_rate=schedule, b1=0.9, b2=0.999)
+        grid = vol_mod.thre3d_repr
+        opt_state = tx.init(grid)
+
+        statics = TrainStepStatics(
+            render_config=vol_mod.render_config,
+            image_height=stage_intrinsics.height,
+            image_width=stage_intrinsics.width,
+            focal=stage_intrinsics.focal,
+            ray_batch_size=ray_batch_size,
+            apply_diffuse_render_regularization=apply_diffuse_render_regularization,
+            use_mesh=use_mesh,
+        )
+
+        log.info(
+            f"training stage: {stage}   voxel grid resolution: {grid.grid_dims} "
+            f"training images resolution: [{stage_intrinsics.height} x {stage_intrinsics.width}]"
+        )
+        log.info(f"current stage learning rate: {current_stage_lr}")
+
+        last_time = time.perf_counter()
+        for stage_iteration in range(1, num_iterations_per_stage + 1):
+            key, step_key = jax.random.split(key)
+            grid, opt_state, metrics = _train_step(
+                statics, tx, grid, opt_state, images, poses, step_key
+            )
+
+            global_step = (stage - 1) * num_iterations_per_stage + stage_iteration
+            is_edge = stage_iteration == 1 or stage_iteration == num_iterations_per_stage
+
+            if global_step % summary_freq == 0 or is_edge:
+                metrics_host = {k: float(v) for k, v in metrics.items()}
+                metrics_host["num_epochs"] = ray_batch_size * global_step / dataset_size
+                for name, value in metrics_host.items():
+                    tensorboard_writer.add_scalar(name, value, global_step=global_step)
+                log.info(
+                    f"Stage: {stage} Global Iteration: {global_step} "
+                    f"Stage Iteration: {stage_iteration} "
+                    + " ".join(f"{k}: {v:.3f}" for k, v in metrics_host.items())
+                )
+
+            time_spent_actually_training += time.perf_counter() - last_time
+
+            if (global_step % feedback_freq == 0 or is_edge) and not fast_debug_mode:
+                vol_mod.thre3d_repr = grid
+                log.info(
+                    "TIME CHECK: time spent actually training till now: "
+                    f"{timedelta(seconds=time_spent_actually_training)}"
+                )
+                visualize_sh_vox_grid_vol_mod_rendered_feedback(
+                    vol_mod=vol_mod,
+                    render_feedback_pose=render_feedback_pose,
+                    camera_intrinsics=camera_intrinsics,
+                    global_step=global_step,
+                    feedback_logs_dir=render_dir,
+                    training_time=time_spent_actually_training,
+                    log_diffuse_rendered_version=apply_diffuse_render_regularization,
+                    overridden_num_samples_per_ray=vol_mod.render_config.render_num_samples_per_ray,
+                    verbose_rendering=verbose_rendering,
+                )
+
+            if (
+                test_dataset is not None
+                and not fast_debug_mode
+                and (
+                    global_step % test_freq == 0
+                    or stage_iteration == num_iterations_per_stage
+                )
+            ):
+                vol_mod.thre3d_repr = grid
+                test_sh_vox_grid_vol_mod_with_posed_images(
+                    vol_mod=vol_mod,
+                    test_dataset=test_dataset,
+                    tensorboard_writer=tensorboard_writer,
+                    global_step=global_step,
+                )
+
+            if global_step % save_freq == 0 or is_edge:
+                vol_mod.thre3d_repr = grid
+                vol_mod.save(
+                    model_dir / f"model_stage_{stage}_iter_{global_step}",
+                    extra_info=extra_info,
+                )
+
+            last_time = time.perf_counter()
+
+        vol_mod.thre3d_repr = grid
+        if stage != num_stages:
+            vol_mod.thre3d_repr = scale_voxel_grid_with_required_output_size(
+                vol_mod.thre3d_repr, output_size=stagewise_voxel_grid_sizes[stage]
+            )
+
+    vol_mod.save(model_dir / "model_final", extra_info=extra_info)
+    log.info("Training complete")
+    log.info(
+        f"Total actual training time: {timedelta(seconds=time_spent_actually_training)}"
+    )
+    return vol_mod

@@ -125,13 +125,61 @@ class VolumetricModel:
 
         flat_rays = flatten_rays(cast_rays(camera_intrinsics, camera_pose))
         num_rays = len(flat_rays)
-        rendered = _jit_render_image(
-            self._render_procedure_name,
-            self._thre3d_repr,
-            flat_rays,
-            config,
-            key,
-            min(chunk_size, num_rays),
+        chunk_size = min(chunk_size, num_rays)
+
+        # per-frame precomputation (e.g. cell-packed tables), built once per render by
+        # its own small jit and passed into every chunk call
+        prepare = getattr(self.render_procedure, "prepare", None)
+        prepared = (
+            _jit_prepare(self._render_procedure_name, self._thre3d_repr)
+            if prepare is not None
+            else None
+        )
+
+        # a Python loop of small identically-shaped jit calls: each chunk program is
+        # tiny and compiles quickly/reliably (one compile total — shapes repeat), at
+        # ~ms dispatch cost per chunk
+        num_chunks = -(-num_rays // chunk_size)
+        padded = num_chunks * chunk_size
+        chunk_keys = (
+            jax.random.split(key, num_chunks) if key is not None else [None] * num_chunks
+        )
+        chunks = []
+        for c in range(num_chunks):
+            start = c * chunk_size
+            stop = min(start + chunk_size, num_rays)
+            chunk_rays = Rays(
+                origins=flat_rays.origins[start:stop],
+                directions=flat_rays.directions[start:stop],
+            )
+            if stop - start < chunk_size:  # pad the tail chunk to the static shape
+                pad_n = chunk_size - (stop - start)
+                chunk_rays = Rays(
+                    origins=jnp.concatenate(
+                        [chunk_rays.origins, jnp.zeros((pad_n, 3))], axis=0
+                    ),
+                    directions=jnp.concatenate(
+                        [
+                            chunk_rays.directions,
+                            jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (pad_n, 1)),
+                        ],
+                        axis=0,
+                    ),
+                )
+            out = _jit_render_chunk(
+                self._render_procedure_name,
+                self._thre3d_repr,
+                chunk_rays,
+                config,
+                chunk_keys[c],
+                prepared,
+            )
+            if stop - start < chunk_size:
+                out = jax.tree_util.tree_map(lambda x: x[: stop - start], out)
+            chunks.append(out)
+
+        rendered = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *chunks
         )
         return reshape_rendered_output(rendered, camera_intrinsics)
 
@@ -174,47 +222,17 @@ def _jit_render_rays(name, thre3d_repr, rays, config, key):
     return _procedure(name)(thre3d_repr, rays, config, key)
 
 
-@partial(jax.jit, static_argnums=(0, 3, 5))
-def _jit_render_image(name, thre3d_repr, flat_rays, config, key, chunk_size):
-    num_rays = len(flat_rays)
-    num_chunks = -(-num_rays // chunk_size)
-    padded = num_chunks * chunk_size
+@partial(jax.jit, static_argnums=(0,))
+def _jit_prepare(name, thre3d_repr):
+    return _procedure(name).prepare(thre3d_repr)
 
-    def pad(x):
-        return jnp.concatenate(
-            [x, jnp.zeros((padded - num_rays, *x.shape[1:]), x.dtype)], axis=0
-        )
 
-    rays_padded = Rays(
-        origins=pad(flat_rays.origins).reshape(num_chunks, chunk_size, -1),
-        directions=pad(
-            # avoid zero-norm directions in the padding tail (they get divided by)
-            jnp.where(
-                jnp.arange(padded)[:, None] < num_rays,
-                pad(flat_rays.directions),
-                jnp.array([0.0, 0.0, -1.0]),
-            )
-        ).reshape(num_chunks, chunk_size, -1),
-    )
-
-    if key is None:
-        def render_chunk(chunk_rays):
-            return _procedure(name)(thre3d_repr, chunk_rays, config, None)
-
-        out = jax.lax.map(render_chunk, rays_padded)
-    else:
-        keys = jax.random.split(key, num_chunks)
-
-        def render_chunk(args):
-            chunk_rays, chunk_key = args
-            return _procedure(name)(thre3d_repr, chunk_rays, config, chunk_key)
-
-        out = jax.lax.map(render_chunk, (rays_padded, keys))
-
-    # [num_chunks, chunk, .] -> flat [num_rays, .]
-    return jax.tree_util.tree_map(
-        lambda x: x.reshape(padded, *x.shape[2:])[:num_rays], out
-    )
+@partial(jax.jit, static_argnums=(0, 3))
+def _jit_render_chunk(name, thre3d_repr, chunk_rays, config, key, prepared):
+    procedure = _procedure(name)
+    if prepared is not None:
+        return procedure(thre3d_repr, chunk_rays, config, key, prepared=prepared)
+    return procedure(thre3d_repr, chunk_rays, config, key)
 
 
 # ---------------------------------------------------------------------- checkpoint io

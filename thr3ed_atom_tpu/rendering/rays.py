@@ -18,9 +18,9 @@ from thr3ed_atom_tpu.utils.constants import NUM_COORD_DIMENSIONS
 
 
 def pose_to_jnp(pose: CameraPose) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """CameraPose (numpy or jnp) -> (rotation [3, 3], translation [3, 1]) float32 arrays."""
-    rotation = jnp.asarray(np.asarray(pose.rotation), dtype=jnp.float32)
-    translation = jnp.asarray(np.asarray(pose.translation), dtype=jnp.float32)
+    """CameraPose (numpy, jnp, or traced) -> (rotation [3, 3], translation [3, 1]) f32."""
+    rotation = jnp.asarray(pose.rotation, dtype=jnp.float32)
+    translation = jnp.asarray(pose.translation, dtype=jnp.float32)
     return rotation, translation.reshape(3, 1)
 
 

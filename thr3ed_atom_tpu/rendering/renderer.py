@@ -48,6 +48,10 @@ class SHVoxGridRenderConfig:
     render_num_samples_per_ray: int = 1024
     parallel_rays_chunk_size: int = 32768
 
+    # two-phase renderer (rendering/fast_renderer.py): number of highest-weight samples
+    # per ray whose SH features are fetched and shaded
+    fast_topk: int = 64
+
     def replace(self, **overrides) -> "SHVoxGridRenderConfig":
         return dataclasses.replace(self, **overrides)
 
@@ -109,4 +113,16 @@ def render_sh_voxel_grid(
 
 
 # registry of render procedures by name — checkpoints reference these strings
-RENDER_PROCEDURES = {"render_sh_voxel_grid": render_sh_voxel_grid}
+from thr3ed_atom_tpu.rendering.fast_renderer import (  # noqa: E402
+    prepare_packed_tables,
+    render_sh_voxel_grid_fast,
+)
+
+# procedures may expose a `prepare` hook: per-frame precomputation (e.g. cell-packed
+# tables) hoisted out of the per-chunk loop by the full-image renderer
+render_sh_voxel_grid_fast.prepare = prepare_packed_tables
+
+RENDER_PROCEDURES = {
+    "render_sh_voxel_grid": render_sh_voxel_grid,
+    "render_sh_voxel_grid_fast": render_sh_voxel_grid_fast,
+}
