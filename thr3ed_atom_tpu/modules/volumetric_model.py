@@ -127,14 +127,10 @@ class VolumetricModel:
         num_rays = len(flat_rays)
         chunk_size = min(chunk_size, num_rays)
 
-        # per-frame precomputation (e.g. cell-packed tables), built once per render by
-        # its own small jit and passed into every chunk call
-        prepare = getattr(self.render_procedure, "prepare", None)
-        prepared = (
-            _jit_prepare(self._render_procedure_name, self._thre3d_repr)
-            if prepare is not None
-            else None
-        )
+        # per-frame precomputation (e.g. cell-packed tables), built once per GRID (not
+        # per pose — cached until the underlying arrays change) and passed into every
+        # chunk call
+        prepared = self._get_prepared()
 
         # a Python loop of small identically-shaped jit calls: each chunk program is
         # tiny and compiles quickly/reliably (one compile total — shapes repeat), at
@@ -182,6 +178,23 @@ class VolumetricModel:
             lambda *xs: jnp.concatenate(xs, axis=0), *chunks
         )
         return reshape_rendered_output(rendered, camera_intrinsics)
+
+    def _get_prepared(self):
+        """Cache the render procedure's per-grid precomputation (e.g. packed tables)
+        across render calls; invalidated when the grid's arrays are replaced."""
+        if getattr(self.render_procedure, "prepare", None) is None:
+            return None
+        grid = self._thre3d_repr
+        cache = getattr(self, "_prepared_cache", None)
+        if (
+            cache is not None
+            and cache[0] is grid.densities
+            and cache[1] is grid.features
+        ):
+            return cache[2]
+        prepared = _jit_prepare(self._render_procedure_name, grid)
+        self._prepared_cache = (grid.densities, grid.features, prepared)
+        return prepared
 
     # ------------------------------------------------------------------ io
 

@@ -43,11 +43,17 @@ from thr3ed_atom_tpu.utils.constants import (
 )
 
 
-def prepare_packed_tables(voxel_grid: VoxelGrid):
+def prepare_packed_tables(voxel_grid: VoxelGrid, feature_dtype=None):
     """Build the (density, features) cell-packed tables once; pass the result to
     ``render_sh_voxel_grid_fast(..., prepared=...)`` to amortize packing across many
-    ray chunks of the same frame (e.g. hoisted out of a lax.map over chunks)."""
+    ray chunks (and frames) of the same grid. Both tables pack one cell's 8 corners
+    per gather row — the measured row-rate sweet spot (32-byte density rows run at
+    ~110M rows/s; wider multi-cell rows measured strictly slower because the gather
+    cost is per row regardless of sharing). ``feature_dtype=jnp.bfloat16`` halves the
+    phase-2 row bytes at ~1e-3 colour error."""
     pre_densities, pre_features = voxel_grid.activated_grids()
+    if feature_dtype is not None:
+        pre_features = pre_features.astype(feature_dtype)
     return pack_grid_cells(pre_densities), pack_grid_cells(pre_features)
 
 
@@ -87,7 +93,6 @@ def render_sh_voxel_grid_fast(
     dims = voxel_grid.grid_dims
     flat_points = sampled.points.reshape(-1, 3)
     normalized = voxel_grid.normalize_points(flat_points)
-    flat_cell, tri_weights, _ = _cell_and_weights(normalized, dims)
 
     inside = voxel_grid.test_inside_volume(flat_points)[:, 0]  # strict AABB mask
 
@@ -96,6 +101,7 @@ def render_sh_voxel_grid_fast(
         prepared = prepare_packed_tables(voxel_grid)
     packed_density, packed_features = prepared  # [cells, 8], [cells, 8*F]
 
+    flat_cell, tri_weights, _ = _cell_and_weights(normalized, dims)
     density_rows = jnp.take(packed_density, flat_cell, axis=0)  # [N*S, 8]
     raw_density = jnp.sum(density_rows * tri_weights, axis=-1)  # [N*S]
     raw_density = ACTIVATIONS[voxel_grid.density_postactivation](raw_density)
@@ -131,22 +137,25 @@ def render_sh_voxel_grid_fast(
 
     # ---------------------------------------------------------------- select top-K
     k = min(config.fast_topk, num_samples)
-    _, top_idx = jax.lax.top_k(weights, k)  # [R, K]
+    top_weights, top_idx = jax.lax.top_k(weights, k)  # [R, K] values come for free
     top_idx = jax.lax.stop_gradient(top_idx)
-    flat_idx = (
-        jnp.arange(num_rays)[:, None] * num_samples + top_idx
-    ).reshape(-1)  # indices into the flat N*S sample axis
-
-    top_weights = jnp.take_along_axis(weights, top_idx, axis=-1)  # [R, K]
-    top_inside = jnp.take(inside, flat_idx).reshape(num_rays, k)
+    top_depths = jnp.take_along_axis(depths, top_idx, axis=-1)  # [R, K]
 
     # ---------------------------------------------------------------- phase 2: features
-    sel_cells = jnp.take(flat_cell, flat_idx)
-    sel_tri_w = jnp.take(tri_weights, flat_idx, axis=0)  # [R*K, 8]
+    # recompute cell indices / trilinear weights for the K selected samples from their
+    # depths instead of gathering them off the full [R*S] sample axis — arithmetic is
+    # free on the VPU, secondary gathers are not
+    top_points = (
+        rays.origins[:, None, :] + rays.directions[:, None, :] * top_depths[..., None]
+    ).reshape(-1, 3)
+    top_normalized = voxel_grid.normalize_points(top_points)
+    sel_cells, sel_tri_w, _ = _cell_and_weights(top_normalized, dims)
+    top_inside = voxel_grid.test_inside_volume(top_points)[:, 0].reshape(num_rays, k)
+
     feature_rows = jnp.take(packed_features, sel_cells, axis=0)  # [R*K, 8*F]
     F = voxel_grid.num_features
     sh_coeffs = jnp.einsum(
-        "nk,nkc->nc", sel_tri_w, feature_rows.reshape(-1, 8, F)
+        "nk,nkc->nc", sel_tri_w, feature_rows.reshape(-1, 8, F).astype(sel_tri_w.dtype)
     )
     sh_coeffs = ACTIVATIONS[voxel_grid.feature_postactivation](sh_coeffs)
     sh_coeffs = sh_coeffs.reshape(num_rays, k, NUM_COLOUR_CHANNELS, -1)
