@@ -15,6 +15,7 @@ from typing import Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from thr3ed_atom_tpu.diffusion.nn import (
     GroupNorm32,
@@ -142,6 +143,53 @@ class AttentionBlock(nn.Module):
             channels, kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros
         )(out)
         return x + out.reshape(batch, *spatial, channels)
+
+
+class AttentionPool2d(nn.Module):
+    """Attention-based global pooling over 2-D feature maps (reference unet.py:21-50):
+    a learned positional embedding + QKV attention where the query is the mean token."""
+
+    embed_dim: int
+    output_dim: Optional[int] = None
+    num_heads: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        batch, h, w, channels = x.shape
+        tokens = x.reshape(batch, h * w, channels)
+        mean_token = tokens.mean(axis=1, keepdims=True)
+        tokens = jnp.concatenate([mean_token, tokens], axis=1)  # [B, 1+N, C]
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(1.0 / channels**0.5),
+            (h * w + 1, channels),
+        )
+        tokens = tokens + pos[None]
+
+        qkv = nn.Dense(3 * self.embed_dim)(tokens)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        head_dim = self.embed_dim // self.num_heads
+
+        def split_heads(t):
+            return t.reshape(batch, -1, self.num_heads, head_dim)
+
+        q, k, v = map(split_heads, (q, k, v))
+        scale = 1.0 / jnp.sqrt(jnp.sqrt(head_dim)).astype(x.dtype)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k * scale)
+        weights = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(
+            batch, -1, self.embed_dim
+        )
+        out = nn.Dense(self.output_dim or self.embed_dim)(out)
+        return out[:, 0]  # the pooled (mean-query) token
+
+
+def count_flops_attn(batch: int, spatial, channels: int) -> int:
+    """FLOPs of a QKV attention block over flattened ``spatial`` positions
+    (counterpart of the reference's thop hook, unet.py:302-319)."""
+    num_spatial = int(np.prod(spatial))
+    # two einsums: [B, N, C] @ [B, C, N] and [B, N, N] @ [B, N, C]
+    return 2 * batch * (num_spatial**2) * channels
 
 
 class UNetModel(nn.Module):

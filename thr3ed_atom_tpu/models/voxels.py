@@ -60,6 +60,12 @@ ACTIVATIONS: Dict[str, Callable[[jnp.ndarray], jnp.ndarray]] = {
     "sigmoid": jax.nn.sigmoid,
 }
 
+# registry of radiance transfer functions by name (reference voxels.py:62,325-328): maps
+# (interpolated features [N, F], viewdirs [N, 3]) -> radiance-space features. ``None``
+# (the default) returns raw features; the SH evaluation then happens in the point
+# processor.
+RADIANCE_TRANSFER_FUNCTIONS: Dict[str, Callable] = {}
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -88,6 +94,10 @@ class VoxelGrid:
     )
     expected_density_scale: float = dataclasses.field(
         default=1.0, metadata=dict(static=True)
+    )
+    # name in RADIANCE_TRANSFER_FUNCTIONS, or None for raw SH features
+    radiance_transfer_function: Optional[str] = dataclasses.field(
+        default=None, metadata=dict(static=True)
     )
 
     # ------------------------------------------------------------------ properties
@@ -203,6 +213,11 @@ class VoxelGrid:
         interp_densities = ACTIVATIONS[self.density_postactivation](interp_densities)
         interp_features = ACTIVATIONS[self.feature_postactivation](interp_features)
 
+        if self.radiance_transfer_function is not None and viewdirs is not None:
+            interp_features = RADIANCE_TRANSFER_FUNCTIONS[
+                self.radiance_transfer_function
+            ](interp_features, viewdirs)
+
         return jnp.concatenate([interp_features, interp_densities], axis=-1)
 
     # ------------------------------------------------------------------ config / io
@@ -215,6 +230,7 @@ class VoxelGrid:
             "feature_preactivation": self.feature_preactivation,
             "feature_postactivation": self.feature_postactivation,
             "expected_density_scale": self.expected_density_scale,
+            "radiance_transfer_function": self.radiance_transfer_function,
         }
 
     def get_save_config_dict(self) -> Dict[str, Any]:

@@ -313,12 +313,16 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
         )
         log.info(f"current stage learning rate: {current_stage_lr}")
 
+        from thr3ed_atom_tpu.utils.profiling import ThroughputMeter
+
+        rays_meter = ThroughputMeter()
         last_time = time.perf_counter()
         for stage_iteration in range(1, num_iterations_per_stage + 1):
             key, step_key = jax.random.split(key)
             grid, opt_state, metrics = _train_step(
                 statics, tx, grid, opt_state, images, poses, step_key
             )
+            rays_meter.tick(ray_batch_size)
 
             global_step = (stage - 1) * num_iterations_per_stage + stage_iteration
             is_edge = stage_iteration == 1 or stage_iteration == num_iterations_per_stage
@@ -326,6 +330,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
             if global_step % summary_freq == 0 or is_edge:
                 metrics_host = {k: float(v) for k, v in metrics.items()}
                 metrics_host["num_epochs"] = ray_batch_size * global_step / dataset_size
+                metrics_host["train_rays_per_sec"] = rays_meter.per_sec
                 for name, value in metrics_host.items():
                     tensorboard_writer.add_scalar(name, value, global_step=global_step)
                 log.info(

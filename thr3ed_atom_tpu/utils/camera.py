@@ -116,6 +116,18 @@ def downsample_camera_intrinsics(
     )
 
 
+def get_2d_coordinates(
+    height: int, width: int, drange: Tuple[float, float] = (-1.0, 1.0)
+) -> np.ndarray:
+    """[H, W, 2] grid of normalized (row, col) coordinates (reference
+    imaging_utils.py:74-85)."""
+    range_a, range_b = drange
+    rows = np.linspace(range_a, range_b, height, dtype=np.float32)
+    cols = np.linspace(range_a, range_b, width, dtype=np.float32)
+    grid_rows, grid_cols = np.meshgrid(rows, cols, indexing="ij")
+    return np.stack([grid_rows, grid_cols], axis=-1)
+
+
 # ---------------------------------------------------------------------------------
 # Camera extrinsics (spherical orbit poses)
 # ---------------------------------------------------------------------------------

@@ -18,6 +18,28 @@ def check_power_of_2(x: int) -> bool:
     return x != 0 and (x & (x - 1)) == 0
 
 
+def batchify(processor_fn, collate_fn, chunk_size, verbose: bool = False):
+    """Host-side chunked-map combinator: chunk -> process -> collate
+    (API parity with reference utils/misc.py:14-35).
+
+    Note: inside jit, prefer static shapes or ``jax.lax.map`` — this combinator is for
+    HOST loops over device calls (e.g. processing a list-sized input with a fixed-shape
+    compiled function), where each chunk is one dispatch.
+    """
+
+    def batchified(x):
+        if chunk_size is None or len(x) <= chunk_size:
+            return processor_fn(x)
+        iterator = range(0, len(x), chunk_size)
+        if verbose:
+            from tqdm import tqdm
+
+            iterator = tqdm(iterator)
+        return collate_fn([processor_fn(x[i : i + chunk_size]) for i in iterator])
+
+    return batchified
+
+
 def compute_thre3d_grid_sizes(
     final_required_resolution: Tuple[int, int, int],
     num_stages: int,
