@@ -67,6 +67,12 @@ from thr3ed_atom_tpu.utils.misc import log_config_to_disk  # noqa: E402
               help="number of parallel rays per render chunk", show_default=True)
 @click.option("--white_bkgd", type=click.BOOL, default=True,
               help="whether to use white background for synthetic scenes", show_default=True)
+@click.option("--render_procedure", type=click.Choice(["render_sh_voxel_grid_fast", "render_sh_voxel_grid"]),
+              default="render_sh_voxel_grid_fast", show_default=True,
+              help="fast = two-phase top-K over packed tables (float-precision parity); "
+                   "exact = reference-semantics gather path")
+@click.option("--fast_topk", type=click.INT, default=64, show_default=True,
+              help="samples per ray shaded in the fast procedure's feature phase")
 # Training related arguments:
 @click.option("--ray_batch_size", type=click.INT, default=16384,
               help="number of randomly sampled rays per training iteration", show_default=True)
@@ -168,12 +174,14 @@ def main(**config) -> None:
 
     vol_mod = VolumetricModel(
         thre3d_repr=voxel_grid,
+        render_procedure=config["render_procedure"],
         render_config=SHVoxGridRenderConfig(
             num_samples_per_ray=config["train_num_samples_per_ray"],
             camera_bounds=train_dataset.camera_bounds,
             white_bkgd=config["white_bkgd"],
             render_num_samples_per_ray=config["render_num_samples_per_ray"],
             parallel_rays_chunk_size=config["parallel_rays_chunk_size"],
+            fast_topk=config["fast_topk"],
         ),
     )
 

@@ -21,3 +21,16 @@ if _os.environ.get("JAX_PLATFORMS"):
         _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
     except Exception:
         pass
+
+# Persistent compilation cache: TPU AOT compiles of the large fused train/render
+# programs take minutes; cache them across processes.
+try:
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache"),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass

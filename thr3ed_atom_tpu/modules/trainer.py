@@ -65,6 +65,11 @@ class TrainStepStatics:
     ray_batch_size: int
     apply_diffuse_render_regularization: bool = True
     use_mesh: bool = False
+    # which registered render procedure the step differentiates through; the fast
+    # two-phase procedure is exact at fast_topk >= num_samples_per_ray and at float
+    # precision for fast_topk >= ~32 (tests/test_fast_renderer.py), while cutting the
+    # gather volume ~8x
+    render_procedure: str = "render_sh_voxel_grid_fast"
 
 
 def _sample_ray_pixel_batch(
@@ -135,9 +140,12 @@ def _train_step(
 
     specular_config = statics.render_config
     diffuse_config = statics.render_config.replace(render_diffuse=True)
+    from thr3ed_atom_tpu.rendering.renderer import RENDER_PROCEDURES
+
+    procedure = RENDER_PROCEDURES[statics.render_procedure]
 
     def loss_fn(g: VoxelGrid):
-        specular = render_sh_voxel_grid(g, rays, specular_config, key_specular)
+        specular = procedure(g, rays, specular_config, key_specular)
         specular_loss = jnp.mean(jnp.abs(specular.colour - pixels))
         specular_mse = jnp.mean((specular.colour - pixels) ** 2)
         total = specular_loss
@@ -146,7 +154,7 @@ def _train_step(
             "specular_psnr": mse2psnr(specular_mse),
         }
         if statics.apply_diffuse_render_regularization:
-            diffuse = render_sh_voxel_grid(g, rays, diffuse_config, key_diffuse)
+            diffuse = procedure(g, rays, diffuse_config, key_diffuse)
             diffuse_loss = jnp.mean(jnp.abs(diffuse.colour - pixels))
             diffuse_mse = jnp.mean((diffuse.colour - pixels) ** 2)
             total = total + diffuse_loss
@@ -305,6 +313,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
             ray_batch_size=ray_batch_size,
             apply_diffuse_render_regularization=apply_diffuse_render_regularization,
             use_mesh=use_mesh,
+            render_procedure=vol_mod.render_procedure_name,
         )
 
         log.info(
