@@ -96,6 +96,9 @@ from thr3ed_atom_tpu.utils.misc import log_config_to_disk  # noqa: E402
               help="whether to apply the diffuse render regularization", show_default=True)
 @click.option("--use_mesh", type=click.BOOL, default=False,
               help="shard the ray batch across all local devices (data parallel)", show_default=True)
+@click.option("--resume_from", type=click.Path(dir_okay=False), default=None,
+              help="checkpoint (.npz/.json pair) to resume training from; restarts at the "
+                   "stage whose grid resolution matches the checkpoint")
 # Various frequencies:
 @click.option("--save_frequency", type=click.INT, default=250, show_default=True)
 @click.option("--test_frequency", type=click.INT, default=250, show_default=True)
@@ -206,6 +209,7 @@ def main(**config) -> None:
         use_mesh=config["use_mesh"],
         verbose_rendering=config["verbose_rendering"],
         fast_debug_mode=config["fast_debug_mode"],
+        resume_from=config["resume_from"],
     )
 
 

@@ -100,3 +100,33 @@ def test_mesh_multi_step_training_descends(tiny_problem):
         losses.append(float(metrics["total_loss"]))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_model_parallel_grid_sharding_matches_unsharded(tiny_problem):
+    """2-D (data x model) mesh: grid x-axis sharded across 'model'; numerics must
+    match the unsharded step (XLA inserts halo exchange + psums)."""
+    grid, config, images, poses, intr = tiny_problem
+    tx = optax.adam(0.01)
+    key = jax.random.PRNGKey(7)
+    copy = lambda tree: jax.tree_util.tree_map(jnp.copy, tree)  # noqa: E731
+
+    base = TrainStepStatics(
+        render_config=config, image_height=intr.height, image_width=intr.width,
+        focal=intr.focal, ray_batch_size=256,
+        apply_diffuse_render_regularization=False, use_mesh=False,
+    )
+    tp = TrainStepStatics(
+        render_config=config, image_height=intr.height, image_width=intr.width,
+        focal=intr.focal, ray_batch_size=256,
+        apply_diffuse_render_regularization=False, use_mesh=True, model_parallel=2,
+    )
+
+    grid_a, _, metrics_a = _train_step(base, tx, copy(grid), tx.init(grid), images, poses, key)
+    grid_b, _, metrics_b = _train_step(tp, tx, copy(grid), tx.init(grid), images, poses, key)
+
+    assert float(metrics_a["total_loss"]) == pytest.approx(
+        float(metrics_b["total_loss"]), rel=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(grid_a.features), np.asarray(grid_b.features), atol=1e-4
+    )

@@ -241,3 +241,69 @@ def test_full_training_procedure_smoke(tmp_path, synthetic_data):
         np.asarray(vol_mod.thre3d_repr.densities),
         atol=1e-6,
     )
+
+
+def test_resume_from_checkpoint(tmp_path, synthetic_data):
+    """Training resumes at the stage matching the checkpointed grid resolution."""
+    import json
+
+    import imageio.v2 as imageio
+
+    from thr3ed_atom_tpu.data.dataset import PosedImagesDataset
+    from thr3ed_atom_tpu.modules.trainer import (
+        train_sh_vox_grid_vol_mod_with_posed_images,
+    )
+    from thr3ed_atom_tpu.utils.camera import to8b
+    from thr3ed_atom_tpu.utils.constants import (
+        BOUNDS,
+        EXTRINSIC,
+        FOCAL as FOCAL_KEY,
+        HEIGHT,
+        INTRINSIC,
+        ROTATION,
+        TRANSLATION,
+        WIDTH,
+    )
+
+    images, poses, intrinsics = synthetic_data
+    img_dir = tmp_path / "train"
+    img_dir.mkdir()
+    params = {}
+    for i in range(NUM_IMAGES):
+        name = f"r_{i}.png"
+        imageio.imwrite(img_dir / name, to8b(np.asarray(images[i])))
+        pose = np.asarray(poses[i])
+        params[name] = {
+            INTRINSIC: {BOUNDS: [2.0, 6.0], HEIGHT: IMAGE_SIZE, WIDTH: IMAGE_SIZE,
+                        FOCAL_KEY: FOCAL},
+            EXTRINSIC: {ROTATION: pose[:, :3].tolist(), TRANSLATION: pose[:, 3:].tolist()},
+        }
+    with open(tmp_path / "train_camera_params.json", "w") as f:
+        json.dump(params, f)
+    dataset = PosedImagesDataset(
+        images_dir=img_dir, camera_params_json=tmp_path / "train_camera_params.json"
+    )
+
+    grid, render_config = _fresh_model()
+    vol_mod = VolumetricModel(grid, render_config=render_config)
+    out_dir = tmp_path / "o1"
+    train_sh_vox_grid_vol_mod_with_posed_images(
+        vol_mod=vol_mod, train_dataset=dataset, output_dir=out_dir,
+        ray_batch_size=256, num_stages=2, num_iterations_per_stage=5,
+        save_freq=1000, test_freq=1000, feedback_freq=1000, summary_freq=100,
+        fast_debug_mode=True, verbose_rendering=False,
+    )
+    final = out_dir / "saved_models" / "model_final"
+
+    # resume: the final grid is at the stage-2 resolution -> only stage 2 reruns
+    grid2, _ = _fresh_model()
+    vol_mod2 = VolumetricModel(grid2, render_config=render_config)
+    out_dir2 = tmp_path / "o2"
+    trained = train_sh_vox_grid_vol_mod_with_posed_images(
+        vol_mod=vol_mod2, train_dataset=dataset, output_dir=out_dir2,
+        ray_batch_size=256, num_stages=2, num_iterations_per_stage=5,
+        save_freq=1000, test_freq=1000, feedback_freq=1000, summary_freq=100,
+        fast_debug_mode=True, verbose_rendering=False, resume_from=final,
+    )
+    assert trained.thre3d_repr.grid_dims == (GRID, GRID, GRID)
+    assert (out_dir2 / "saved_models" / "model_final.npz").exists()

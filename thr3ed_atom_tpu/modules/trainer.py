@@ -65,6 +65,9 @@ class TrainStepStatics:
     ray_batch_size: int
     apply_diffuse_render_regularization: bool = True
     use_mesh: bool = False
+    # >1 shards the voxel grid's x-axis over a "model" mesh axis (spatial tensor
+    # parallelism with XLA-inserted halo exchange); requires use_mesh
+    model_parallel: int = 1
     # which registered render procedure the step differentiates through; the fast
     # two-phase procedure is exact at fast_topk >= num_samples_per_ray and at float
     # precision for fast_topk >= ~32 (tests/test_fast_renderer.py), while cutting the
@@ -131,12 +134,22 @@ def _train_step(
     rays, pixels = _sample_ray_pixel_batch(key_batch, images, poses, statics)
 
     if statics.use_mesh:
-        from thr3ed_atom_tpu.parallel.mesh import make_data_mesh
+        from thr3ed_atom_tpu.parallel.mesh import (
+            make_data_mesh,
+            make_grid_mesh,
+            shard_grid_spatial,
+        )
 
-        mesh = make_data_mesh()
-        rays = shard_batch(mesh, rays)
-        pixels = shard_batch(mesh, pixels)
-        grid = replicate(mesh, grid)
+        if statics.model_parallel > 1:
+            mesh = make_grid_mesh(statics.model_parallel)
+            rays = shard_batch(mesh, rays)
+            pixels = shard_batch(mesh, pixels)
+            grid = shard_grid_spatial(mesh, grid)
+        else:
+            mesh = make_data_mesh()
+            rays = shard_batch(mesh, rays)
+            pixels = shard_batch(mesh, pixels)
+            grid = replicate(mesh, grid)
 
     specular_config = statics.render_config
     diffuse_config = statics.render_config.replace(render_diffuse=True)
@@ -197,6 +210,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
     verbose_rendering: bool = True,
     fast_debug_mode: bool = False,
     seed: int = 42,
+    resume_from: Optional[Path] = None,
 ) -> VolumetricModel:
     """Coarse-to-fine training loop (reference trainers.py:49-491 anatomy preserved):
     per stage — fresh Adam at stagewise-decayed LR, exponential in-stage decay, jitted
@@ -236,21 +250,43 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
         config["downsample_factor"] = base_downsample * (scale_factor**stage)
         stagewise_train_datasets.insert(0, PosedImagesDataset(**config))
 
-    # downscale grid to the smallest stage size and re-init from uniform(-1, 1)
     key = jax.random.PRNGKey(seed)
-    key, key_d, key_f = jax.random.split(key, 3)
-    small_grid = scale_voxel_grid_with_required_output_size(
-        vol_mod.thre3d_repr, output_size=stagewise_voxel_grid_sizes[0]
-    )
-    vol_mod.thre3d_repr = dataclasses.replace(
-        small_grid,
-        densities=jax.random.uniform(
-            key_d, small_grid.densities.shape, minval=-1.0, maxval=1.0
-        ),
-        features=jax.random.uniform(
-            key_f, small_grid.features.shape, minval=-1.0, maxval=1.0
-        ),
-    )
+    start_stage = 1
+    if resume_from is not None:
+        # resume: adopt the checkpointed grid and restart at the stage whose grid size
+        # matches (optimizer state restarts — checkpoints carry only the scene arrays,
+        # which is what dominates; the reference has no resume at all, SURVEY.md §5.3)
+        from thr3ed_atom_tpu.modules.volumetric_model import (
+            create_volumetric_model_from_saved_model,
+        )
+
+        loaded, _ = create_volumetric_model_from_saved_model(Path(resume_from))
+        vol_mod.thre3d_repr = loaded.thre3d_repr
+        loaded_dims = loaded.thre3d_repr.grid_dims
+        matches = [
+            i for i, size in enumerate(stagewise_voxel_grid_sizes) if size == loaded_dims
+        ]
+        assert matches, (
+            f"checkpoint grid {loaded_dims} matches no stage of the plan "
+            f"{stagewise_voxel_grid_sizes}"
+        )
+        start_stage = matches[0] + 1
+        log.info(f"resuming from {resume_from} at stage {start_stage}")
+    else:
+        # downscale grid to the smallest stage size and re-init from uniform(-1, 1)
+        key, key_d, key_f = jax.random.split(key, 3)
+        small_grid = scale_voxel_grid_with_required_output_size(
+            vol_mod.thre3d_repr, output_size=stagewise_voxel_grid_sizes[0]
+        )
+        vol_mod.thre3d_repr = dataclasses.replace(
+            small_grid,
+            densities=jax.random.uniform(
+                key_d, small_grid.densities.shape, minval=-1.0, maxval=1.0
+            ),
+            features=jax.random.uniform(
+                key_f, small_grid.features.shape, minval=-1.0, maxval=1.0
+            ),
+        )
 
     # feedback pose: first test (or train) image's pose
     feedback_dataset = test_dataset if test_dataset is not None else train_dataset
@@ -288,7 +324,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
         HEMISPHERICAL_RADIUS: train_dataset.get_hemispherical_radius_estimate(),
     }
 
-    for stage in range(1, num_stages + 1):
+    for stage in range(start_stage, num_stages + 1):
         stage_dataset = stagewise_train_datasets[stage - 1]
         stage_intrinsics = stage_dataset.camera_intrinsics
         images = jnp.asarray(stage_dataset.images)

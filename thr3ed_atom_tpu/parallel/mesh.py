@@ -20,6 +20,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def make_data_mesh(num_devices: Optional[int] = None) -> Mesh:
@@ -28,6 +29,26 @@ def make_data_mesh(num_devices: Optional[int] = None) -> Mesh:
     if num_devices is not None:
         devices = devices[:num_devices]
     return Mesh(np.array(devices), axis_names=(DATA_AXIS,))
+
+
+def make_grid_mesh(model_parallel: int, num_devices: Optional[int] = None) -> Mesh:
+    """2-D ("data", "model") mesh: rays shard over "data"; the voxel grid's x-axis
+    shards over "model" (spatial tensor parallelism; XLA inserts the halo exchange the
+    +-1-voxel packing/interpolation windows need, and the psums for partial results).
+    """
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    assert len(devices) % model_parallel == 0
+    grid = np.array(devices).reshape(len(devices) // model_parallel, model_parallel)
+    return Mesh(grid, axis_names=(DATA_AXIS, MODEL_AXIS))
+
+
+def shard_grid_spatial(mesh: Mesh, grid_tree):
+    """Constrain a VoxelGrid pytree's arrays to shard their x (width) axis over the
+    model axis of the mesh."""
+    sharding = NamedSharding(mesh, P(MODEL_AXIS))
+    return jax.lax.with_sharding_constraint(grid_tree, sharding)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
