@@ -80,7 +80,9 @@ def make_blob_scene(grid_size: int = 64, seed: int = 3, num_blobs: int = 6) -> V
 @click.option("--image_size", type=int, default=128, show_default=True)
 @click.option("--grid_size", type=int, default=64, show_default=True)
 @click.option("--seed", type=int, default=3, show_default=True)
-def main(output_path, num_train, num_test, image_size, grid_size, seed):
+@click.option("--render_procedure", type=click.Choice(["render_sh_voxel_grid", "render_sh_voxel_grid_fast"]),
+              default="render_sh_voxel_grid_fast", show_default=True)
+def main(output_path, num_train, num_test, image_size, grid_size, seed, render_procedure):
     import imageio.v2 as imageio
 
     output_path = Path(output_path)
@@ -94,7 +96,9 @@ def main(output_path, num_train, num_test, image_size, grid_size, seed):
         perturb_sampled_points=False,
         white_bkgd=True,
     )
-    vol_mod = VolumetricModel(grid, render_config=config)
+    vol_mod = VolumetricModel(
+        grid, render_procedure=render_procedure, render_config=config
+    )
 
     rng = np.random.default_rng(seed)
     splits = {"train": num_train, "test": num_test}
