@@ -65,14 +65,25 @@ def main() -> None:
         for _ in range(NUM_POSES + 1)
     ]
 
-    # warmup / compile (first pose)
-    out = vol_mod.render(poses[0], intrinsics)
-    float(jnp.sum(out.colour))
+    # Warm up until per-pose timing stabilizes: the TPU runtime may execute an
+    # interpreted/deoptimized program until the async AOT compile lands, so a single
+    # warmup pose is not enough to reach steady state.
+    def render_once(pose):
+        t0 = time.perf_counter()
+        out = vol_mod.render(pose, intrinsics)
+        float(jnp.sum(out.colour))  # sync with a scalar transfer only
+        return time.perf_counter() - t0
+
+    previous = render_once(poses[0])
+    for _ in range(12):
+        current = render_once(poses[0])
+        if current < 1.25 * previous and previous < 1.25 * current:
+            break
+        previous = current
 
     start = time.perf_counter()
     for pose in poses[1:]:
-        out = vol_mod.render(pose, intrinsics)
-        float(jnp.sum(out.colour))  # sync with a scalar transfer only
+        render_once(pose)
     elapsed = time.perf_counter() - start
 
     total_rays = NUM_POSES * IMAGE_SIZE * IMAGE_SIZE

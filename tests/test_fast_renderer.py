@@ -1,7 +1,5 @@
 """Parity tests: cell-packed sampling == reference grid sampler; fast two-phase
 renderer == exact renderer (at K = S exactly; at K << S to high tolerance)."""
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

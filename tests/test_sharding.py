@@ -8,7 +8,6 @@ import pytest
 
 from thr3ed_atom_tpu.models.voxels import VoxelSize, create_voxel_grid
 from thr3ed_atom_tpu.modules.trainer import TrainStepStatics, _train_step
-from thr3ed_atom_tpu.parallel.mesh import make_data_mesh
 from thr3ed_atom_tpu.rendering.renderer import SHVoxGridRenderConfig
 from thr3ed_atom_tpu.utils.camera import CameraBounds, CameraIntrinsics, pose_spherical
 

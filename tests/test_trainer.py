@@ -4,8 +4,6 @@ A ground-truth voxel grid renders the training images; a freshly initialized gri
 then reconstruct the scene to a sane PSNR within a few hundred steps. This replaces the
 reference's dependence on downloaded NeRF-synthetic data (reference conftest.py:13-15).
 """
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

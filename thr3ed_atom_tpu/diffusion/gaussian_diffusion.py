@@ -14,7 +14,7 @@ schedules are precomputed in float64 numpy and embedded as constants.
 """
 import enum
 import math
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ flax module, gradient checkpointing via ``flax.linen.remat`` / ``jax.checkpoint`
 of a hand-written autograd.Function, and EMA as a pure pytree polyak update.
 """
 import math
-from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -10,7 +10,7 @@ for TPU/XLA:
   * optional class conditioning via an embedding added to the time embedding
   * zero-initialized output conv and FiLM scale-shift norm preserved
 """
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -7,7 +7,6 @@ computed when importable and skipped with a log line otherwise.
 """
 from typing import Optional
 
-import jax
 import numpy as np
 
 from thr3ed_atom_tpu.data.dataset import PosedImagesDataset

@@ -21,7 +21,7 @@ import time
 from datetime import timedelta
 from functools import partial
 from pathlib import Path
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +40,7 @@ from thr3ed_atom_tpu.rendering.renderer import (
     SHVoxGridRenderConfig,
     render_sh_voxel_grid,
 )
-from thr3ed_atom_tpu.utils.camera import CameraIntrinsics, CameraPose
+from thr3ed_atom_tpu.utils.camera import CameraPose
 from thr3ed_atom_tpu.utils.constants import (
     CAMERA_BOUNDS,
     CAMERA_INTRINSICS,

@@ -9,7 +9,7 @@ threaded explicitly via jax.random keys instead of global torch RNG state.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, NamedTuple, Optional, Union
+from typing import Callable, Dict, NamedTuple, Union
 
 import jax
 import jax.numpy as jnp
