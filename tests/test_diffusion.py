@@ -271,3 +271,63 @@ def test_huber_loss_type(tiny_unet, key):
     terms = d.training_losses(lambda x, tt: unet.apply(params, x, tt), x0, t, key)
     assert terms["loss"].shape == (2,)
     assert np.isfinite(np.asarray(terms["loss"])).all()
+
+
+def test_model_save_load_roundtrip(tiny_unet, tmp_path):
+    from thr3ed_atom_tpu.diffusion.model import Thre3inFusionModel
+
+    unet, params = tiny_unet
+    d = _diffusion(T=8)
+    model = Thre3inFusionModel(unet=unet, diffusion=d)
+    model.params = params
+    model.density_scale_range = (-1.0, 5.0)
+    model.save_model(tmp_path / "ckpt")
+    assert (tmp_path / "ckpt.npz").exists() and (tmp_path / "ckpt.json").exists()
+
+    model2 = Thre3inFusionModel(unet=unet, diffusion=d)
+    model2.load_params(tmp_path / "ckpt", spatial=(8, 8, 8))
+    flat1 = jax.tree_util.tree_leaves(model.params)
+    flat2 = jax.tree_util.tree_leaves(model2.params)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_data_utils_infinite_batches(key, tmp_path):
+    import json
+
+    from PIL import Image
+
+    from thr3ed_atom_tpu.data.dataset import PosedImagesDataset
+    from thr3ed_atom_tpu.data.utils import get_image_transform, infinite_batches
+    from thr3ed_atom_tpu.utils.camera import pose_spherical
+    from thr3ed_atom_tpu.utils.constants import (
+        BOUNDS, EXTRINSIC, FOCAL, HEIGHT, INTRINSIC, ROTATION, TRANSLATION, WIDTH,
+    )
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    params = {}
+    for i in range(3):
+        name = f"x_{i}.png"
+        Image.fromarray(np.full((8, 8, 3), i * 40, np.uint8)).save(img_dir / name)
+        pose = pose_spherical(i * 100.0, -20.0, 4.0)
+        params[name] = {
+            INTRINSIC: {BOUNDS: [2, 6], HEIGHT: 8, WIDTH: 8, FOCAL: 9.0},
+            EXTRINSIC: {ROTATION: pose.rotation.tolist(),
+                        TRANSLATION: pose.translation.tolist()},
+        }
+    with open(tmp_path / "cp.json", "w") as f:
+        json.dump(params, f)
+    ds = PosedImagesDataset(images_dir=img_dir, camera_params_json=tmp_path / "cp.json")
+
+    it = infinite_batches(key, ds, batch_size=4)
+    images, poses = next(it)
+    assert images.shape == (4, 8, 8, 3) and poses.shape == (4, 3, 4)
+    images2, _ = next(it)
+    assert images2.shape == (4, 8, 8, 3)
+
+    # transform: resize + [0, 1] range
+    transform = get_image_transform(new_size=(4, 4))
+    out = transform(Image.fromarray(np.full((8, 8, 3), 255, np.uint8)))
+    assert out.shape == (4, 4, 3)
+    assert out.max() <= 1.0
