@@ -360,20 +360,25 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
 
         from thr3ed_atom_tpu.utils.profiling import ThroughputMeter
 
-        rays_meter = ThroughputMeter()
+        # the meter must tick at SYNC points (dispatch is async; per-step ticks would
+        # measure the Python dispatch rate, not device throughput)
+        rays_meter = ThroughputMeter(window=8)
+        steps_since_sync = 0
         last_time = time.perf_counter()
         for stage_iteration in range(1, num_iterations_per_stage + 1):
             key, step_key = jax.random.split(key)
             grid, opt_state, metrics = _train_step(
                 statics, tx, grid, opt_state, images, poses, step_key
             )
-            rays_meter.tick(ray_batch_size)
+            steps_since_sync += 1
 
             global_step = (stage - 1) * num_iterations_per_stage + stage_iteration
             is_edge = stage_iteration == 1 or stage_iteration == num_iterations_per_stage
 
             if global_step % summary_freq == 0 or is_edge:
-                metrics_host = {k: float(v) for k, v in metrics.items()}
+                metrics_host = {k: float(v) for k, v in metrics.items()}  # syncs
+                rays_meter.tick(ray_batch_size * steps_since_sync)
+                steps_since_sync = 0
                 metrics_host["num_epochs"] = ray_batch_size * global_step / dataset_size
                 metrics_host["train_rays_per_sec"] = rays_meter.per_sec
                 for name, value in metrics_host.items():
