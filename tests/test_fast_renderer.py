@@ -173,3 +173,47 @@ def test_fast_grad_matches_exact_grad_at_full_k():
     )
 
 
+
+def test_bf16_feature_tables_close():
+    """fast_bf16_features halves phase-2 bytes with ~1e-3 colour error."""
+    grid = _scene()
+    rays = _rays(9)
+    base = SHVoxGridRenderConfig(
+        num_samples_per_ray=64, camera_bounds=CameraBounds(2.0, 6.0),
+        perturb_sampled_points=False, white_bkgd=True, fast_topk=32,
+    )
+    f32 = render_sh_voxel_grid_fast(grid, rays, base, None)
+    bf16 = render_sh_voxel_grid_fast(
+        grid, rays, base.replace(fast_bf16_features=True), None
+    )
+    err = np.abs(np.asarray(f32.colour) - np.asarray(bf16.colour)).max()
+    assert err < 5e-3, err
+    # depth/acc are computed from the f32 density table either way -> exact
+    np.testing.assert_allclose(np.asarray(f32.depth), np.asarray(bf16.depth), atol=1e-6)
+
+
+@pytest.mark.parametrize("pre,post,scale", [
+    ("identity", "relu", 10.0),      # relu-field
+    ("identity", "softplus", 10.0),  # softplus-field
+    ("abs", "identity", 1.0),        # traditional grid
+])
+def test_density_activation_modes_match_exact(pre, post, scale):
+    """All three CLI activation modes agree between the exact and fast procedures."""
+    import dataclasses as dc
+
+    grid = dc.replace(
+        _scene(),
+        density_preactivation=pre,
+        density_postactivation=post,
+        expected_density_scale=scale,
+    )
+    rays = _rays(9)
+    config = SHVoxGridRenderConfig(
+        num_samples_per_ray=48, camera_bounds=CameraBounds(2.0, 6.0),
+        perturb_sampled_points=False, white_bkgd=True, fast_topk=48,
+    )
+    exact = render_sh_voxel_grid(grid, rays, config, None)
+    fast = render_sh_voxel_grid_fast(grid, rays, config, None)
+    np.testing.assert_allclose(
+        np.asarray(fast.colour), np.asarray(exact.colour), atol=3e-5
+    )

@@ -130,7 +130,7 @@ class VolumetricModel:
         # per-frame precomputation (e.g. cell-packed tables), built once per GRID (not
         # per pose — cached until the underlying arrays change) and passed into every
         # chunk call
-        prepared = self._get_prepared()
+        prepared = self._get_prepared(config)
 
         # a Python loop of small identically-shaped jit calls: each chunk program is
         # tiny and compiles quickly/reliably (one compile total — shapes repeat), at
@@ -179,9 +179,9 @@ class VolumetricModel:
         )
         return reshape_rendered_output(rendered, camera_intrinsics)
 
-    def _get_prepared(self):
+    def _get_prepared(self, config):
         """Cache the render procedure's per-grid precomputation (e.g. packed tables)
-        across render calls; invalidated when the grid's arrays are replaced."""
+        across render calls; invalidated when the grid's arrays or the config change."""
         if getattr(self.render_procedure, "prepare", None) is None:
             return None
         grid = self._thre3d_repr
@@ -190,10 +190,11 @@ class VolumetricModel:
             cache is not None
             and cache[0] is grid.densities
             and cache[1] is grid.features
+            and cache[2] == config
         ):
-            return cache[2]
-        prepared = _jit_prepare(self._render_procedure_name, grid)
-        self._prepared_cache = (grid.densities, grid.features, prepared)
+            return cache[3]
+        prepared = _jit_prepare(self._render_procedure_name, grid, config)
+        self._prepared_cache = (grid.densities, grid.features, config, prepared)
         return prepared
 
     # ------------------------------------------------------------------ io
@@ -235,9 +236,9 @@ def _jit_render_rays(name, thre3d_repr, rays, config, key):
     return _procedure(name)(thre3d_repr, rays, config, key)
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _jit_prepare(name, thre3d_repr):
-    return _procedure(name).prepare(thre3d_repr)
+@partial(jax.jit, static_argnums=(0, 2))
+def _jit_prepare(name, thre3d_repr, config):
+    return _procedure(name).prepare(thre3d_repr, config)
 
 
 @partial(jax.jit, static_argnums=(0, 3))

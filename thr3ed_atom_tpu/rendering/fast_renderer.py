@@ -98,7 +98,10 @@ def render_sh_voxel_grid_fast(
 
     # ---------------------------------------------------------------- phase 1: density
     if prepared is None:
-        prepared = prepare_packed_tables(voxel_grid)
+        prepared = prepare_packed_tables(
+            voxel_grid,
+            feature_dtype=jnp.bfloat16 if config.fast_bf16_features else None,
+        )
     packed_density, packed_features = prepared  # [cells, 8], [cells, 8*F]
 
     flat_cell, tri_weights, _ = _cell_and_weights(normalized, dims)

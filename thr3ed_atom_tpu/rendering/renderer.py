@@ -51,6 +51,9 @@ class SHVoxGridRenderConfig:
     # two-phase renderer (rendering/fast_renderer.py): number of highest-weight samples
     # per ray whose SH features are fetched and shaded
     fast_topk: int = 64
+    # store the packed feature table in bfloat16: halves phase-2 gather bytes at
+    # ~1e-3 colour error
+    fast_bf16_features: bool = False
 
     def replace(self, **overrides) -> "SHVoxGridRenderConfig":
         return dataclasses.replace(self, **overrides)
@@ -118,9 +121,18 @@ from thr3ed_atom_tpu.rendering.fast_renderer import (  # noqa: E402
     render_sh_voxel_grid_fast,
 )
 
-# procedures may expose a `prepare` hook: per-frame precomputation (e.g. cell-packed
-# tables) hoisted out of the per-chunk loop by the full-image renderer
-render_sh_voxel_grid_fast.prepare = prepare_packed_tables
+# procedures may expose a `prepare` hook (grid, config) -> prepared: per-grid
+# precomputation (e.g. cell-packed tables) hoisted out of the per-chunk loop and cached
+# across frames by the full-image renderer
+def _prepare_fast(voxel_grid, config):
+    import jax.numpy as jnp
+
+    return prepare_packed_tables(
+        voxel_grid, feature_dtype=jnp.bfloat16 if config.fast_bf16_features else None
+    )
+
+
+render_sh_voxel_grid_fast.prepare = _prepare_fast
 
 RENDER_PROCEDURES = {
     "render_sh_voxel_grid": render_sh_voxel_grid,
