@@ -53,6 +53,7 @@ def main() -> None:
         white_bkgd=True,
         parallel_rays_chunk_size=40000,
         fast_topk=32,  # tested to 1e-4 colour parity vs the exact renderer
+        fast_bf16_features=True,  # tested to <5e-3; phase 2 is byte-bound
     )
     vol_mod = VolumetricModel(
         grid, render_procedure="render_sh_voxel_grid_fast", render_config=config
