@@ -90,3 +90,46 @@ def test_check_power_of_2():
     assert check_power_of_2(64)
     assert not check_power_of_2(100)
     assert not check_power_of_2(0)
+
+
+def test_batchify_chunked_map():
+    from thr3ed_atom_tpu.utils.misc import batchify
+
+    calls = []
+
+    def processor(x):
+        calls.append(len(x))
+        return [v * 2 for v in x]
+
+    def collate(chunks):
+        return [v for chunk in chunks for v in chunk]
+
+    out = batchify(processor, collate, chunk_size=4)(list(range(10)))
+    assert out == [v * 2 for v in range(10)]
+    assert calls == [4, 4, 2]
+
+    # small inputs bypass chunking
+    calls.clear()
+    out = batchify(processor, collate, chunk_size=100)(list(range(5)))
+    assert out == [0, 2, 4, 6, 8] and calls == [5]
+
+
+def test_throughput_meter():
+    import time as _time
+
+    from thr3ed_atom_tpu.utils.profiling import ThroughputMeter
+
+    meter = ThroughputMeter(window=10)
+    assert meter.per_sec == 0.0
+    meter.tick(100)
+    _time.sleep(0.05)
+    meter.tick(100)
+    rate = meter.per_sec
+    assert 500 < rate < 10000  # ~100 units / 0.05s
+
+
+def test_profile_trace_noop():
+    from thr3ed_atom_tpu.utils.profiling import profile_trace
+
+    with profile_trace(None):
+        pass  # no-op path must not require jax

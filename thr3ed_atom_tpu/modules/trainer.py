@@ -11,8 +11,9 @@ Parity: reference thre3d_atom/modules/trainers.py:49-514, re-designed TPU-first:
     entry (4 total for the canonical recipe) since array shapes change.
   * optax.adam + exponential_decay(staircase) replaces torch Adam + ExponentialLR stepped
     every ``lr_decay_steps_per_stage`` (trainers.py:242-250, 389-393).
-  * optional 1-D device mesh: ray batch shards across chips, grid replicates, XLA emits
-    the gradient psum over ICI (see parallel/mesh.py).
+  * optional device mesh: the ray batch shards across chips (data parallel); with
+    model_parallel > 1 the grid's x-axis additionally shards over a "model" axis
+    (spatial tensor parallelism, XLA-inserted halo exchange). See parallel/mesh.py.
 """
 from __future__ import annotations
 
@@ -36,10 +37,7 @@ from thr3ed_atom_tpu.models.voxels import (
 from thr3ed_atom_tpu.modules.volumetric_model import VolumetricModel
 from thr3ed_atom_tpu.parallel.mesh import replicate, shard_batch
 from thr3ed_atom_tpu.rendering.interface import Rays
-from thr3ed_atom_tpu.rendering.renderer import (
-    SHVoxGridRenderConfig,
-    render_sh_voxel_grid,
-)
+from thr3ed_atom_tpu.rendering.renderer import SHVoxGridRenderConfig
 from thr3ed_atom_tpu.utils.camera import CameraPose
 from thr3ed_atom_tpu.utils.constants import (
     CAMERA_BOUNDS,

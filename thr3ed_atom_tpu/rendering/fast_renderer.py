@@ -89,29 +89,46 @@ def render_sh_voxel_grid_fast(
             perturb=config.perturb_sampled_points,
         )
 
-    num_rays, num_samples = sampled.depths.shape
-    dims = voxel_grid.grid_dims
-    flat_points = sampled.points.reshape(-1, 3)
-    normalized = voxel_grid.normalize_points(flat_points)
-
-    inside = voxel_grid.test_inside_volume(flat_points)[:, 0]  # strict AABB mask
-
-    # ---------------------------------------------------------------- phase 1: density
     if prepared is None:
         prepared = prepare_packed_tables(
             voxel_grid,
             feature_dtype=jnp.bfloat16 if config.fast_bf16_features else None,
         )
     packed_density, packed_features = prepared  # [cells, 8], [cells, 8*F]
+    return _shade_samples(
+        voxel_grid, rays, sampled.depths, config, noise_key, packed_density,
+        packed_features,
+    )
 
+
+def _shade_samples(
+    voxel_grid: VoxelGrid,
+    rays: Rays,
+    depths: jnp.ndarray,  # [R, S] sorted per-ray sample depths
+    config,
+    noise_key: Optional[jax.Array],
+    packed_density: jnp.ndarray,
+    packed_features: jnp.ndarray,
+) -> RenderOut:
+    """Two-phase shading of given per-ray sample depths (shared by the fast and
+    hierarchical procedures): density pass over all S samples -> exact transmittance
+    weights/depth/acc -> top-K feature fetch + SH shading -> composited RenderOut."""
+    num_rays, num_samples = depths.shape
+    dims = voxel_grid.grid_dims
+    flat_points = (
+        rays.origins[:, None, :] + rays.directions[:, None, :] * depths[..., None]
+    ).reshape(-1, 3)
+    normalized = voxel_grid.normalize_points(flat_points)
+
+    inside = voxel_grid.test_inside_volume(flat_points)[:, 0]  # strict AABB mask
+
+    # ---------------------------------------------------------------- phase 1: density
     flat_cell, tri_weights, _ = _cell_and_weights(normalized, dims)
     density_rows = jnp.take(packed_density, flat_cell, axis=0)  # [N*S, 8]
     raw_density = jnp.sum(density_rows * tri_weights, axis=-1)  # [N*S]
     raw_density = ACTIVATIONS[voxel_grid.density_postactivation](raw_density)
     raw_density = jnp.where(inside, raw_density, 0.0)
     raw_density = raw_density.reshape(num_rays, num_samples)
-
-    depths = sampled.depths
     deltas = depths[..., 1:] - depths[..., :-1]
     inf_delta = jnp.full((num_rays, 1), INFINITY, dtype=deltas.dtype)
     deltas = jnp.concatenate([deltas, inf_delta], axis=-1)

@@ -134,7 +134,14 @@ def _prepare_fast(voxel_grid, config):
 
 render_sh_voxel_grid_fast.prepare = _prepare_fast
 
+from thr3ed_atom_tpu.rendering.hierarchical import (  # noqa: E402
+    render_sh_voxel_grid_hierarchical,
+)
+
+render_sh_voxel_grid_hierarchical.prepare = _prepare_fast
+
 RENDER_PROCEDURES = {
     "render_sh_voxel_grid": render_sh_voxel_grid,
     "render_sh_voxel_grid_fast": render_sh_voxel_grid_fast,
+    "render_sh_voxel_grid_hierarchical": render_sh_voxel_grid_hierarchical,
 }
