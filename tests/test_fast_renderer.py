@@ -77,8 +77,8 @@ def test_fast_matches_exact_at_full_k(render_diffuse, white_bkgd):
         np.asarray(fast.depth), np.asarray(exact.depth), atol=1e-4
     )
     np.testing.assert_allclose(
-        np.asarray(fast.extra["accumulated_weights"]),
-        np.asarray(exact.extra["accumulated_weights"]),
+        np.asarray(fast.extra["accumulated_weight"]),
+        np.asarray(exact.extra["accumulated_weight"]),
         atol=1e-5,
     )
 

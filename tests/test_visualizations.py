@@ -60,7 +60,7 @@ def test_single_cube_renders_from_all_six_faces(single_cube_vol_mod, tmp_path):
     for pose in face_poses:
         out = single_cube_vol_mod.render(pose, intr)
         colour = np.asarray(out.colour)
-        acc = np.asarray(out.extra["accumulated_weights"])
+        acc = np.asarray(out.extra["accumulated_weight"])
         assert np.isfinite(colour).all()
         assert acc[16, 16, 0] > 0.9  # cube fills the image center
         images.append(colour)

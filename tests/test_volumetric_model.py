@@ -41,7 +41,7 @@ def test_full_image_render_shapes(vol_mod):
     out = vol_mod.render(pose_spherical(0.0, -30.0, 4.0), intr)
     assert out.colour.shape == (24, 32, 3)
     assert out.depth.shape == (24, 32, 1)
-    assert out.extra["accumulated_weights"].shape == (24, 32, 1)
+    assert out.extra["accumulated_weight"].shape == (24, 32, 1)
     assert np.isfinite(np.asarray(out.colour)).all()
 
 

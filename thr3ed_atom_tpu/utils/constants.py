@@ -17,13 +17,13 @@ ZERO_PLUS = 1e-10
 INFINITY = 1e10
 
 # keys used by RenderOut.extra
-EXTRA_ACCUMULATED_WEIGHTS = "accumulated_weights"
+EXTRA_ACCUMULATED_WEIGHTS = "accumulated_weight"
 EXTRA_DISPARITY = "disparity"
 EXTRA_POINT_WEIGHTS = "point_weights"
 EXTRA_POINT_DENSITIES = "point_densities"
 EXTRA_POINT_OCCUPANCIES = "point_occupancies"
 EXTRA_POINT_DEPTHS = "point_depths"
-EXTRA_SAMPLE_INTERVALS = "sample_intervals"
+EXTRA_SAMPLE_INTERVALS = "deltas"
 
 # keys used by checkpoints / saved-model info dicts
 EXTRA_INFO = "extra_info"
