@@ -67,10 +67,13 @@ from thr3ed_atom_tpu.utils.misc import log_config_to_disk  # noqa: E402
               help="number of parallel rays per render chunk", show_default=True)
 @click.option("--white_bkgd", type=click.BOOL, default=True,
               help="whether to use white background for synthetic scenes", show_default=True)
-@click.option("--render_procedure", type=click.Choice(["render_sh_voxel_grid_fast", "render_sh_voxel_grid"]),
+@click.option("--render_procedure",
+              type=click.Choice(["render_sh_voxel_grid_fast", "render_sh_voxel_grid",
+                                 "render_sh_voxel_grid_hierarchical"]),
               default="render_sh_voxel_grid_fast", show_default=True,
               help="fast = two-phase top-K over packed tables (float-precision parity); "
-                   "exact = reference-semantics gather path")
+                   "exact = reference-semantics gather path; hierarchical = coarse-to-fine "
+                   "importance sampling (num_samples is the total budget)")
 @click.option("--fast_topk", type=click.INT, default=64, show_default=True,
               help="samples per ray shaded in the fast procedure's feature phase")
 # Training related arguments:
