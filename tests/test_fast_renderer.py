@@ -217,3 +217,30 @@ def test_density_activation_modes_match_exact(pre, post, scale):
     np.testing.assert_allclose(
         np.asarray(fast.colour), np.asarray(exact.colour), atol=3e-5
     )
+
+
+def test_fused_diffuse_matches_separate_render():
+    """extra['diffuse_colour'] from one pass == a dedicated diffuse render over the
+    same (deterministic) samples."""
+    grid = _scene()
+    rays = _rays(11)
+    base = SHVoxGridRenderConfig(
+        num_samples_per_ray=48, camera_bounds=CameraBounds(2.0, 6.0),
+        perturb_sampled_points=False, white_bkgd=True, fast_topk=48,
+    )
+    fused = render_sh_voxel_grid_fast(
+        grid, rays, base.replace(also_render_diffuse=True), None
+    )
+    separate = render_sh_voxel_grid_fast(
+        grid, rays, base.replace(render_diffuse=True), None
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.extra["diffuse_colour"]),
+        np.asarray(separate.colour),
+        atol=1e-5,
+    )
+    # the specular output is untouched by the flag
+    plain = render_sh_voxel_grid_fast(grid, rays, base, None)
+    np.testing.assert_array_equal(
+        np.asarray(fused.colour), np.asarray(plain.colour)
+    )

@@ -62,6 +62,12 @@ class TrainStepStatics:
     focal: float
     ray_batch_size: int
     apply_diffuse_render_regularization: bool = True
+    # compute the diffuse regularization colour from the SAME samples/weights/gathered
+    # rows as the specular render (one render pass instead of two; the loss is the same
+    # unbiased estimator, with the two terms' Monte-Carlo noise correlated). Requires a
+    # procedure that honors also_render_diffuse; set False for the reference's
+    # independent-second-render semantics.
+    fused_diffuse_render: bool = True
     use_mesh: bool = False
     # >1 shards the voxel grid's x-axis over a "model" mesh axis (spatial tensor
     # parallelism with XLA-inserted halo exchange); requires use_mesh
@@ -149,11 +155,16 @@ def _train_step(
             pixels = shard_batch(mesh, pixels)
             grid = replicate(mesh, grid)
 
-    specular_config = statics.render_config
-    diffuse_config = statics.render_config.replace(render_diffuse=True)
     from thr3ed_atom_tpu.rendering.renderer import RENDER_PROCEDURES
 
     procedure = RENDER_PROCEDURES[statics.render_procedure]
+    fuse_diffuse = (
+        statics.apply_diffuse_render_regularization
+        and statics.fused_diffuse_render
+        and statics.render_procedure != "render_sh_voxel_grid"  # exact path: no hook
+    )
+    specular_config = statics.render_config.replace(also_render_diffuse=fuse_diffuse)
+    diffuse_config = statics.render_config.replace(render_diffuse=True)
 
     def loss_fn(g: VoxelGrid):
         specular = procedure(g, rays, specular_config, key_specular)
@@ -165,9 +176,12 @@ def _train_step(
             "specular_psnr": mse2psnr(specular_mse),
         }
         if statics.apply_diffuse_render_regularization:
-            diffuse = procedure(g, rays, diffuse_config, key_diffuse)
-            diffuse_loss = jnp.mean(jnp.abs(diffuse.colour - pixels))
-            diffuse_mse = jnp.mean((diffuse.colour - pixels) ** 2)
+            if fuse_diffuse:
+                diffuse_colour = specular.extra["diffuse_colour"]
+            else:
+                diffuse_colour = procedure(g, rays, diffuse_config, key_diffuse).colour
+            diffuse_loss = jnp.mean(jnp.abs(diffuse_colour - pixels))
+            diffuse_mse = jnp.mean((diffuse_colour - pixels) ** 2)
             total = total + diffuse_loss
             aux |= {
                 "diffuse_loss": diffuse_loss,

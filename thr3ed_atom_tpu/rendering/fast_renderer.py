@@ -203,11 +203,26 @@ def _shade_samples(
     if config.white_bkgd:
         colour_render = colour_render + (1.0 - acc_render)
 
+    extra = {
+        EXTRA_DISPARITY: disparity_render,
+        EXTRA_ACCUMULATED_WEIGHTS: acc_render,
+    }
+
+    if config.also_render_diffuse and not config.render_diffuse:
+        # degree-0 truncation of the SAME gathered coefficients/weights: a second
+        # (diffuse) colour for the price of one SH constant term
+        diffuse_radiance = evaluate_spherical_harmonics(
+            0, sh_coeffs[..., :1], viewdirs[:, None, :]
+        )
+        diffuse_colour = tone_map(diffuse_radiance)
+        diffuse_colour = jnp.where(top_inside[..., None], diffuse_colour, 0.0)
+        diffuse_render = jnp.sum(diffuse_colour * top_weights[..., None], axis=-2)
+        if config.white_bkgd:
+            diffuse_render = diffuse_render + (1.0 - acc_render)
+        extra["diffuse_colour"] = diffuse_render
+
     return RenderOut(
         colour=colour_render,
         depth=depth_render,
-        extra={
-            EXTRA_DISPARITY: disparity_render,
-            EXTRA_ACCUMULATED_WEIGHTS: acc_render,
-        },
+        extra=extra,
     )

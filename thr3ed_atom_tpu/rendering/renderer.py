@@ -54,6 +54,10 @@ class SHVoxGridRenderConfig:
     # store the packed feature table in bfloat16: halves phase-2 gather bytes at
     # ~1e-3 colour error
     fast_bf16_features: bool = False
+    # also emit the diffuse (degree-0 SH) colour in extra["diffuse_colour"] from the
+    # SAME samples/weights/gathered rows — the trainer's diffuse regularization then
+    # costs one extra SH truncation instead of a whole second render
+    also_render_diffuse: bool = False
 
     def replace(self, **overrides) -> "SHVoxGridRenderConfig":
         return dataclasses.replace(self, **overrides)
