@@ -185,16 +185,18 @@ class VolumetricModel:
         if getattr(self.render_procedure, "prepare", None) is None:
             return None
         grid = self._thre3d_repr
+        # packing depends only on the table dtype choice, not on per-call render modes
+        cache_key = getattr(config, "fast_bf16_features", None)
         cache = getattr(self, "_prepared_cache", None)
         if (
             cache is not None
             and cache[0] is grid.densities
             and cache[1] is grid.features
-            and cache[2] == config
+            and cache[2] == cache_key
         ):
             return cache[3]
         prepared = _jit_prepare(self._render_procedure_name, grid, config)
-        self._prepared_cache = (grid.densities, grid.features, config, prepared)
+        self._prepared_cache = (grid.densities, grid.features, cache_key, prepared)
         return prepared
 
     # ------------------------------------------------------------------ io
