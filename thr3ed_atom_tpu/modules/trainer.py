@@ -177,7 +177,9 @@ def _train_step(
         }
         if statics.apply_diffuse_render_regularization:
             if fuse_diffuse:
-                diffuse_colour = specular.extra["diffuse_colour"]
+                from thr3ed_atom_tpu.utils.constants import EXTRA_DIFFUSE_COLOUR
+
+                diffuse_colour = specular.extra[EXTRA_DIFFUSE_COLOUR]
             else:
                 diffuse_colour = procedure(g, rays, diffuse_config, key_diffuse).colour
             diffuse_loss = jnp.mean(jnp.abs(diffuse_colour - pixels))

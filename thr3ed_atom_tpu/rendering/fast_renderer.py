@@ -36,6 +36,7 @@ from thr3ed_atom_tpu.rendering.sample import (
 )
 from thr3ed_atom_tpu.utils.constants import (
     EXTRA_ACCUMULATED_WEIGHTS,
+    EXTRA_DIFFUSE_COLOUR,
     EXTRA_DISPARITY,
     INFINITY,
     NUM_COLOUR_CHANNELS,
@@ -219,7 +220,7 @@ def _shade_samples(
         diffuse_render = jnp.sum(diffuse_colour * top_weights[..., None], axis=-2)
         if config.white_bkgd:
             diffuse_render = diffuse_render + (1.0 - acc_render)
-        extra["diffuse_colour"] = diffuse_render
+        extra[EXTRA_DIFFUSE_COLOUR] = diffuse_render
 
     return RenderOut(
         colour=colour_render,

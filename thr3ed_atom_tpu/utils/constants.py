@@ -24,6 +24,7 @@ EXTRA_POINT_DENSITIES = "point_densities"
 EXTRA_POINT_OCCUPANCIES = "point_occupancies"
 EXTRA_POINT_DEPTHS = "point_depths"
 EXTRA_SAMPLE_INTERVALS = "deltas"
+EXTRA_DIFFUSE_COLOUR = "diffuse_colour"  # fused-diffuse render output (this framework only)
 
 # keys used by checkpoints / saved-model info dicts
 EXTRA_INFO = "extra_info"
