@@ -76,6 +76,11 @@ from thr3ed_atom_tpu.utils.misc import log_config_to_disk  # noqa: E402
                    "importance sampling (num_samples is the total budget)")
 @click.option("--fast_topk", type=click.INT, default=64, show_default=True,
               help="samples per ray shaded in the fast procedure's feature phase")
+@click.option("--fast_bf16_features", type=click.BOOL, default=False, show_default=True,
+              help="store the packed feature table in bfloat16 (halves phase-2 bytes)")
+@click.option("--fast_pack_features", type=click.BOOL, default=True, show_default=True,
+              help="cell-pack the feature table (8x memory for ~1.6x speed); turn OFF "
+                   "for 256^3+ grids where the packed table exceeds HBM")
 # Training related arguments:
 @click.option("--ray_batch_size", type=click.INT, default=16384,
               help="number of randomly sampled rays per training iteration", show_default=True)
@@ -188,6 +193,8 @@ def main(**config) -> None:
             render_num_samples_per_ray=config["render_num_samples_per_ray"],
             parallel_rays_chunk_size=config["parallel_rays_chunk_size"],
             fast_topk=config["fast_topk"],
+            fast_bf16_features=config["fast_bf16_features"],
+            fast_pack_features=config["fast_pack_features"],
         ),
     )
 

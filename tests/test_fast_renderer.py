@@ -244,3 +244,27 @@ def test_fused_diffuse_matches_separate_render():
     np.testing.assert_array_equal(
         np.asarray(fused.colour), np.asarray(plain.colour)
     )
+
+
+def test_unpacked_features_mode_matches_exact():
+    """fast_pack_features=False (huge-grid mode) is exact at K = S."""
+    grid = _scene()
+    rays = _rays(11)
+    S = 48
+    config = SHVoxGridRenderConfig(
+        num_samples_per_ray=S, camera_bounds=CameraBounds(2.0, 6.0),
+        perturb_sampled_points=False, white_bkgd=True, fast_topk=S,
+        fast_pack_features=False,
+    )
+    exact = render_sh_voxel_grid(grid, rays, config, None)
+    fast = render_sh_voxel_grid_fast(grid, rays, config, None)
+    np.testing.assert_allclose(
+        np.asarray(fast.colour), np.asarray(exact.colour), atol=2e-5
+    )
+
+    # gradients flow in this mode too
+    def loss(g):
+        return jnp.mean(render_sh_voxel_grid_fast(g, rays, config, None).colour ** 2)
+
+    grads = jax.grad(loss)(grid)
+    assert float(jnp.abs(grads.features).sum()) > 0.0

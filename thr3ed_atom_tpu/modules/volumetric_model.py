@@ -185,8 +185,12 @@ class VolumetricModel:
         if getattr(self.render_procedure, "prepare", None) is None:
             return None
         grid = self._thre3d_repr
-        # packing depends only on the table dtype choice, not on per-call render modes
-        cache_key = getattr(config, "fast_bf16_features", None)
+        # packing depends only on the table dtype/layout choices, not on per-call
+        # render modes
+        cache_key = (
+            getattr(config, "fast_bf16_features", None),
+            getattr(config, "fast_pack_features", None),
+        )
         cache = getattr(self, "_prepared_cache", None)
         if (
             cache is not None

@@ -44,18 +44,23 @@ from thr3ed_atom_tpu.utils.constants import (
 )
 
 
-def prepare_packed_tables(voxel_grid: VoxelGrid, feature_dtype=None):
-    """Build the (density, features) cell-packed tables once; pass the result to
+def prepare_packed_tables(
+    voxel_grid: VoxelGrid, feature_dtype=None, pack_features: bool = True
+):
+    """Build the (density, features) tables once; pass the result to
     ``render_sh_voxel_grid_fast(..., prepared=...)`` to amortize packing across many
-    ray chunks (and frames) of the same grid. Both tables pack one cell's 8 corners
+    ray chunks (and frames) of the same grid. Packed tables put one cell's 8 corners
     per gather row — the measured row-rate sweet spot (32-byte density rows run at
     ~110M rows/s; wider multi-cell rows measured strictly slower because the gather
     cost is per row regardless of sharing). ``feature_dtype=jnp.bfloat16`` halves the
-    phase-2 row bytes at ~1e-3 colour error."""
+    phase-2 row bytes at ~1e-3 colour error. ``pack_features=False`` keeps the raw
+    [W, D, H, F] feature grid (for 256^3+ grids whose packed table exceeds HBM);
+    phase 2 then does 8 corner gathers per selected sample."""
     pre_densities, pre_features = voxel_grid.activated_grids()
     if feature_dtype is not None:
         pre_features = pre_features.astype(feature_dtype)
-    return pack_grid_cells(pre_densities), pack_grid_cells(pre_features)
+    features = pack_grid_cells(pre_features) if pack_features else pre_features
+    return pack_grid_cells(pre_densities), features
 
 
 def render_sh_voxel_grid_fast(
@@ -94,11 +99,12 @@ def render_sh_voxel_grid_fast(
         prepared = prepare_packed_tables(
             voxel_grid,
             feature_dtype=jnp.bfloat16 if config.fast_bf16_features else None,
+            pack_features=config.fast_pack_features,
         )
-    packed_density, packed_features = prepared  # [cells, 8], [cells, 8*F]
+    packed_density, features_table = prepared  # [cells, 8], [cells, 8*F] or [W,D,H,F]
     return _shade_samples(
         voxel_grid, rays, sampled.depths, config, noise_key, packed_density,
-        packed_features,
+        features_table,
     )
 
 
@@ -170,14 +176,23 @@ def _shade_samples(
         rays.origins[:, None, :] + rays.directions[:, None, :] * top_depths[..., None]
     ).reshape(-1, 3)
     top_normalized = voxel_grid.normalize_points(top_points)
-    sel_cells, sel_tri_w, _ = _cell_and_weights(top_normalized, dims)
     top_inside = voxel_grid.test_inside_volume(top_points)[:, 0].reshape(num_rays, k)
 
-    feature_rows = jnp.take(packed_features, sel_cells, axis=0)  # [R*K, 8*F]
     F = voxel_grid.num_features
-    sh_coeffs = jnp.einsum(
-        "nk,nkc->nc", sel_tri_w, feature_rows.reshape(-1, 8, F).astype(sel_tri_w.dtype)
-    )
+    if packed_features.ndim == 2:  # cell-packed [cells, 8*F]: one row per sample
+        sel_cells, sel_tri_w, _ = _cell_and_weights(top_normalized, dims)
+        feature_rows = jnp.take(packed_features, sel_cells, axis=0)  # [R*K, 8*F]
+        sh_coeffs = jnp.einsum(
+            "nk,nkc->nc",
+            sel_tri_w,
+            feature_rows.reshape(-1, 8, F).astype(sel_tri_w.dtype),
+        )
+    else:  # raw [W, D, H, F] grid (huge-grid mode): 8 corner gathers per sample
+        from thr3ed_atom_tpu.ops.grid_sample import trilinear_grid_sample
+
+        sh_coeffs = trilinear_grid_sample(
+            packed_features.astype(jnp.float32), top_normalized
+        )
     sh_coeffs = ACTIVATIONS[voxel_grid.feature_postactivation](sh_coeffs)
     sh_coeffs = sh_coeffs.reshape(num_rays, k, NUM_COLOUR_CHANNELS, -1)
 

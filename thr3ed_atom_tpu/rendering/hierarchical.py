@@ -96,6 +96,7 @@ def render_sh_voxel_grid_hierarchical(
         prepared = prepare_packed_tables(
             voxel_grid,
             feature_dtype=jnp.bfloat16 if config.fast_bf16_features else None,
+            pack_features=config.fast_pack_features,
         )
     packed_density, packed_features = prepared
     dims = voxel_grid.grid_dims

@@ -58,6 +58,10 @@ class SHVoxGridRenderConfig:
     # SAME samples/weights/gathered rows — the trainer's diffuse regularization then
     # costs one extra SH truncation instead of a whole second render
     also_render_diffuse: bool = False
+    # cell-pack the FEATURE table (8x memory for ~1.6x phase-2 speed). Turn OFF for
+    # huge grids (256^3+: the packed table alone is ~15 GB); phase 2 then gathers the
+    # 8 corners straight from the raw feature grid
+    fast_pack_features: bool = True
 
     def replace(self, **overrides) -> "SHVoxGridRenderConfig":
         return dataclasses.replace(self, **overrides)
@@ -132,7 +136,9 @@ def _prepare_fast(voxel_grid, config):
     import jax.numpy as jnp
 
     return prepare_packed_tables(
-        voxel_grid, feature_dtype=jnp.bfloat16 if config.fast_bf16_features else None
+        voxel_grid,
+        feature_dtype=jnp.bfloat16 if config.fast_bf16_features else None,
+        pack_features=config.fast_pack_features,
     )
 
 
