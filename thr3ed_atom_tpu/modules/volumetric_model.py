@@ -107,6 +107,7 @@ class VolumetricModel:
         camera_intrinsics: CameraIntrinsics,
         parallel_rays_chunk_size: Optional[int] = None,
         key: Optional[jax.Array] = None,
+        verbose: bool = False,
         **config_overrides,
     ) -> RenderOut:
         """Full-image render: cast -> flatten -> lax.map over ray chunks -> [H, W, .].
@@ -140,8 +141,14 @@ class VolumetricModel:
         chunk_keys = (
             jax.random.split(key, num_chunks) if key is not None else [None] * num_chunks
         )
+        chunk_range = range(num_chunks)
+        if verbose:
+            from tqdm import tqdm
+
+            chunk_range = tqdm(chunk_range, desc="render chunks")
+
         chunks = []
-        for c in range(num_chunks):
+        for c in chunk_range:
             start = c * chunk_size
             stop = min(start + chunk_size, num_rays)
             chunk_rays = Rays(

@@ -126,6 +126,7 @@ def visualize_sh_vox_grid_vol_mod_rendered_feedback(
         camera_pose=render_feedback_pose,
         camera_intrinsics=camera_intrinsics,
         parallel_rays_chunk_size=parallel_rays_chunk_size,
+        verbose=verbose_rendering,
         optimized_sampling=use_optimized_sampling_mode,
         num_samples_per_ray=num_samples,
     )
@@ -139,6 +140,7 @@ def visualize_sh_vox_grid_vol_mod_rendered_feedback(
             camera_pose=render_feedback_pose,
             camera_intrinsics=camera_intrinsics,
             parallel_rays_chunk_size=parallel_rays_chunk_size,
+            verbose=verbose_rendering,
             optimized_sampling=use_optimized_sampling_mode,
             render_diffuse=True,
             num_samples_per_ray=num_samples,
