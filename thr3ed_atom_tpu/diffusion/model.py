@@ -180,7 +180,18 @@ class Thre3inFusionModel:
         )
         from thr3ed_atom_tpu.visualizations.video import write_video
 
-        samples = self.sample(shape, num_samples, key=key, max_iter=max_iter)
+        # sample sequentially: a batched reverse process over full-resolution grids
+        # needs batch x whole-UNet activation memory (measured 58 GB for 9 x 128^3 x 28ch
+        # — over any single chip's HBM); one-at-a-time fits comfortably
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        sample_keys = jax.random.split(key, num_samples)
+        samples = jnp.concatenate(
+            [
+                self.sample(shape, 1, key=sample_keys[i], max_iter=max_iter)
+                for i in range(num_samples)
+            ]
+        )
         samples = self.scale_tensor_grids(samples)
 
         videos = []
@@ -382,23 +393,30 @@ class Thre3inFusionModel:
                 tensorboard_writer.add_scalar("loss", loss_value, step)
                 log.info(f"Step {step}/{num_iters}: loss = {loss_value:.4f}")
 
-            if step % sample_frequency == 0:
-                self.params = params
-                log.info("Creating intermediate samples for visualization ...")
-                key, vis_key = jax.random.split(key)
-                self.visualize_samples_mosaic(
-                    shape=tuple(full_grid_size),
-                    num_samples=visualization_samples,
-                    save_path=sample_dir / f"samples_{step}.mp4",
-                    num_frames=60,
-                    fps=24,
-                    key=vis_key,
-                )
-
+            # save BEFORE sampling so a visualization failure never loses the model
             if step % save_frequency == 0:
                 self.params = params
                 log.info("Saving the model ...")
                 self.save_model(model_dir / f"model_{step}")
+
+            if step % sample_frequency == 0:
+                self.params = params
+                log.info("Creating intermediate samples for visualization ...")
+                key, vis_key = jax.random.split(key)
+                try:
+                    self.visualize_samples_mosaic(
+                        shape=tuple(full_grid_size),
+                        num_samples=visualization_samples,
+                        save_path=sample_dir / f"samples_{step}.mp4",
+                        num_frames=60,
+                        fps=24,
+                        key=vis_key,
+                    )
+                except Exception as error:  # visualization is best-effort
+                    log.info(
+                        f"sample visualization failed ({type(error).__name__}: {error}); "
+                        "continuing training"
+                    )
 
         self.params = params
         self.save_model(model_dir / "model_final")
