@@ -51,7 +51,7 @@ def main() -> None:
         perturb_sampled_points=False,
         optimized_sampling=True,
         white_bkgd=True,
-        parallel_rays_chunk_size=40000,
+        parallel_rays_chunk_size=80000,
         fast_topk=32,  # tested to 1e-4 colour parity vs the exact renderer
         fast_bf16_features=True,  # tested to <5e-3; phase 2 is byte-bound
     )
