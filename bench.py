@@ -75,12 +75,12 @@ def main() -> None:
         float(jnp.sum(out.colour))  # sync with a scalar transfer only
         return time.perf_counter() - t0
 
-    previous = render_once(poses[0])
-    for _ in range(12):
-        current = render_once(poses[0])
-        if current < 1.25 * previous and previous < 1.25 * current:
+    timings = [render_once(poses[0]) for _ in range(5)]
+    for _ in range(15):
+        recent = timings[-3:]
+        if max(recent) < 1.25 * min(recent):
             break
-        previous = current
+        timings.append(render_once(poses[0]))
 
     start = time.perf_counter()
     for pose in poses[1:]:
