@@ -116,6 +116,9 @@ from thr3ed_atom_tpu.utils.misc import log_config_to_disk  # noqa: E402
 @click.option("--verbose_rendering", type=click.BOOL, default=False, show_default=True)
 @click.option("--fast_debug_mode", type=click.BOOL, default=False,
               help="skips testing and some lengthy visualizations", show_default=True)
+@click.option("--profile_dir", type=click.Path(file_okay=False), default=None,
+              help="capture a jax.profiler trace of the training into this directory "
+                   "(view with TensorBoard/Perfetto)")
 # fmt: on
 def main(**config) -> None:
     data_path = Path(config["data_path"])
@@ -198,29 +201,32 @@ def main(**config) -> None:
         ),
     )
 
-    train_sh_vox_grid_vol_mod_with_posed_images(
-        vol_mod=vol_mod,
-        train_dataset=train_dataset,
-        output_dir=output_path,
-        test_dataset=test_dataset,
-        ray_batch_size=config["ray_batch_size"],
-        num_stages=config["num_stages"],
-        num_iterations_per_stage=config["num_iterations_per_stage"],
-        scale_factor=config["scale_factor"],
-        learning_rate=config["learning_rate"],
-        lr_decay_gamma_per_stage=config["lr_decay_gamma_per_stage"],
-        lr_decay_steps_per_stage=config["lr_decay_steps_per_stage"],
-        stagewise_lr_decay_gamma=config["stagewise_lr_decay_gamma"],
-        save_freq=config["save_frequency"],
-        test_freq=config["test_frequency"],
-        feedback_freq=config["feedback_frequency"],
-        summary_freq=config["summary_frequency"],
-        apply_diffuse_render_regularization=config["apply_diffuse_render_regularization"],
-        use_mesh=config["use_mesh"],
-        verbose_rendering=config["verbose_rendering"],
-        fast_debug_mode=config["fast_debug_mode"],
-        resume_from=config["resume_from"],
-    )
+    from thr3ed_atom_tpu.utils.profiling import profile_trace
+
+    with profile_trace(config["profile_dir"]):
+        train_sh_vox_grid_vol_mod_with_posed_images(
+            vol_mod=vol_mod,
+            train_dataset=train_dataset,
+            output_dir=output_path,
+            test_dataset=test_dataset,
+            ray_batch_size=config["ray_batch_size"],
+            num_stages=config["num_stages"],
+            num_iterations_per_stage=config["num_iterations_per_stage"],
+            scale_factor=config["scale_factor"],
+            learning_rate=config["learning_rate"],
+            lr_decay_gamma_per_stage=config["lr_decay_gamma_per_stage"],
+            lr_decay_steps_per_stage=config["lr_decay_steps_per_stage"],
+            stagewise_lr_decay_gamma=config["stagewise_lr_decay_gamma"],
+            save_freq=config["save_frequency"],
+            test_freq=config["test_frequency"],
+            feedback_freq=config["feedback_frequency"],
+            summary_freq=config["summary_frequency"],
+            apply_diffuse_render_regularization=config["apply_diffuse_render_regularization"],
+            use_mesh=config["use_mesh"],
+            verbose_rendering=config["verbose_rendering"],
+            fast_debug_mode=config["fast_debug_mode"],
+            resume_from=config["resume_from"],
+        )
 
 
 if __name__ == "__main__":
