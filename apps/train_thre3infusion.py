@@ -46,6 +46,8 @@ from thr3ed_atom_tpu.utils.logging import log  # noqa: E402
 @click.option("--save_frequency", type=click.INT, default=5000, show_default=True)
 @click.option("--use_checkpoint", type=click.BOOL, default=True, show_default=True,
               help="gradient checkpointing (jax.checkpoint) in the UNet resblocks")
+@click.option("--visualization_samples", type=click.INT, default=9, show_default=True,
+              help="number of grids sampled (sequentially) for the periodic mosaic video")
 # fmt: on
 def main(**config) -> None:
     # channel count adapts to the loaded scene: density + all SH feature channels
@@ -99,6 +101,7 @@ def main(**config) -> None:
         loss_feedback_frequency=config["loss_feedback_frequency"],
         sample_frequency=config["sample_frequency"],
         save_frequency=config["save_frequency"],
+        visualization_samples=config["visualization_samples"],
     )
 
 
