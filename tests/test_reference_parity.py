@@ -276,3 +276,36 @@ def test_gradients_match_reference_autograd(scene_arrays):
     np.testing.assert_allclose(
         np.asarray(grads.densities), ref_d_dens, atol=5e-4, rtol=1e-2
     )
+
+
+def test_ndcize_rays_matches_reference():
+    """NDC reprojection parity (reference rendering/volumetric/utils/misc.py:81-114)."""
+    import torch
+    from thre3d_atom.rendering.volumetric.render_interface import Rays as RefRays
+    from thre3d_atom.rendering.volumetric.utils.misc import ndcize_rays as ref_ndcize
+    from thre3d_atom.utils.imaging_utils import CameraIntrinsics as RefIntrinsics
+
+    from thr3ed_atom_tpu.rendering.interface import Rays
+    from thr3ed_atom_tpu.rendering.rays import ndcize_rays
+    from thr3ed_atom_tpu.utils.camera import CameraIntrinsics
+
+    rng = np.random.default_rng(5)
+    origins = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+    origins[:, 2] += 3.0  # keep rays in front of the near plane
+    directions = rng.uniform(-0.3, 0.3, (64, 3)).astype(np.float32)
+    directions[:, 2] = -1.0
+
+    ours = ndcize_rays(
+        Rays(origins=jnp.asarray(origins), directions=jnp.asarray(directions)),
+        CameraIntrinsics(120, 160, 140.0),
+    )
+    theirs = ref_ndcize(
+        RefRays(torch.from_numpy(origins.copy()), torch.from_numpy(directions.copy())),
+        RefIntrinsics(120, 160, 140.0),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.origins), theirs.origins.numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.directions), theirs.directions.numpy(), atol=1e-5
+    )
