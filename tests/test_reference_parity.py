@@ -281,7 +281,6 @@ def test_gradients_match_reference_autograd(scene_arrays):
 def test_ndcize_rays_matches_reference():
     """NDC reprojection parity (reference rendering/volumetric/utils/misc.py:81-114)."""
     import torch
-    from thre3d_atom.rendering.volumetric.render_interface import Rays as RefRays
     from thre3d_atom.rendering.volumetric.utils.misc import ndcize_rays as ref_ndcize
     from thre3d_atom.utils.imaging_utils import CameraIntrinsics as RefIntrinsics
 
@@ -299,8 +298,9 @@ def test_ndcize_rays_matches_reference():
         Rays(origins=jnp.asarray(origins), directions=jnp.asarray(directions)),
         CameraIntrinsics(120, 160, 140.0),
     )
+    # the reference function unpacks `rays_o, rays_d = rays`; a 2-tuple satisfies it
     theirs = ref_ndcize(
-        RefRays(torch.from_numpy(origins.copy()), torch.from_numpy(directions.copy())),
+        (torch.from_numpy(origins.copy()), torch.from_numpy(directions.copy())),
         RefIntrinsics(120, 160, 140.0),
     )
     np.testing.assert_allclose(
