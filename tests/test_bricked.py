@@ -1,0 +1,231 @@
+"""Bricked (slab-march) renderer: numerics vs an exact-oracle composite.
+
+The kernel samples at slab crossings (x-cell-center planes along the march axis),
+where the grid's trilinear interpolant equals the average of the two adjacent vertex
+planes. The oracle below evaluates the EXACT f32 trilinear interpolant
+(models.voxels.VoxelGrid.__call__, itself pinned against torch grid_sample) at the
+same crossing depths and composites identically — so forward parity here pins every
+stage of the kernel (tables, DMA patches, tent weights, SH fold, compositing) up to
+the bf16 grid/weight precision.
+
+Runs the Pallas kernel in interpreter mode on the CPU test backend.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from thr3ed_atom_tpu.models.voxels import VoxelGrid, VoxelSize, create_voxel_grid
+from thr3ed_atom_tpu.ops.sh import evaluate_spherical_harmonics
+from thr3ed_atom_tpu.rendering.bricked import (
+    dominant_axis_for_pose,
+    render_image_bricked,
+)
+from thr3ed_atom_tpu.rendering.rays import cast_rays
+from thr3ed_atom_tpu.rendering.renderer import SHVoxGridRenderConfig
+from thr3ed_atom_tpu.utils.camera import (
+    CameraBounds,
+    CameraIntrinsics,
+    pose_spherical,
+)
+from thr3ed_atom_tpu.utils.constants import (
+    EXTRA_ACCUMULATED_WEIGHTS,
+    EXTRA_DIFFUSE_COLOUR,
+)
+
+GRID = 16
+IMG = 32
+
+
+def _make_grid(key, sparse=False):
+    grid = create_voxel_grid(
+        key,
+        grid_dims=(GRID, GRID, GRID),
+        num_features=27,
+        voxel_size=VoxelSize(3.0 / GRID, 3.0 / GRID, 3.0 / GRID),
+        density_preactivation="abs",
+        expected_density_scale=20.0,
+    )
+    if sparse:
+        # carve out everything except a central blob so occupancy skipping engages
+        coords = jnp.stack(
+            jnp.meshgrid(*[jnp.arange(GRID)] * 3, indexing="ij"), axis=-1
+        )
+        dist = jnp.linalg.norm(coords - (GRID - 1) / 2.0, axis=-1, keepdims=True)
+        mask = (dist < GRID / 5.0).astype(jnp.float32)
+        grid = grid.replace_arrays(densities=grid.densities * mask)
+    return grid
+
+
+# VoxelGrid is a frozen dataclass; small helper for tests
+def _replace_arrays(self, **kw):
+    import dataclasses
+
+    return dataclasses.replace(self, **kw)
+
+
+VoxelGrid.replace_arrays = _replace_arrays
+
+
+def _oracle_render(grid: VoxelGrid, pose, intrinsics, white_bkgd=False):
+    """Exact f32 composite at the slab-crossing depths of the bricked renderer."""
+    axis, flip = dominant_axis_for_pose(pose.rotation)
+    dims = grid.grid_dims
+    aabb = grid.aabb
+    lo_a, hi_a = aabb[axis]
+    n_a = dims[axis]
+    cell = (hi_a - lo_a) / n_a
+    num_slabs = n_a - 1
+
+    rays = cast_rays(intrinsics, pose)
+    o = rays.origins.reshape(-1, 3)
+    d = rays.directions.reshape(-1, 3)
+
+    j = jnp.arange(num_slabs, dtype=jnp.float32)
+    k_phys = (num_slabs - 1) - j if flip else j
+    w_k = lo_a + (k_phys + 1.0) * cell  # world coord of each crossing
+    s = (w_k[None, :] - o[:, axis:axis + 1]) / d[:, axis:axis + 1]  # [N, S]
+
+    pts = o[:, None, :] + d[:, None, :] * s[..., None]
+    inside = grid.test_inside_volume(pts.reshape(-1, 3))[:, 0].reshape(s.shape)
+    valid = inside & (s > 0.0)
+    # also require front-to-back marching (s increasing in j)
+    step = s[:, 1:2] - s[:, 0:1]
+    valid = valid & (step > 0.0)
+
+    out = grid(pts.reshape(-1, 3))
+    feats, sigma = out[:, :-1], out[:, -1]
+    sigma = jnp.where(valid.reshape(-1), sigma, 0.0).reshape(s.shape)
+
+    viewdirs = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    sh = feats.reshape(*s.shape, 3, 9)
+    radiance = evaluate_spherical_harmonics(2, sh, viewdirs[:, None, :])
+    colour_s = jax.nn.sigmoid(radiance)  # [N, S, 3]
+    diffuse_s = jax.nn.sigmoid(
+        evaluate_spherical_harmonics(0, sh[..., :1], viewdirs[:, None, :])
+    )
+
+    delta = jnp.abs(step) * jnp.linalg.norm(d, axis=-1, keepdims=True)
+    alpha = jnp.clip(1.0 - jnp.exp(-sigma * delta), 0.0, 1.0)
+    trans = jnp.cumprod(1.0 - alpha, axis=-1)
+    excl = jnp.concatenate([jnp.ones_like(trans[:, :1]), trans[:, :-1]], axis=-1)
+    w = alpha * excl
+    colour = jnp.sum(colour_s * w[..., None], axis=1)
+    diffuse = jnp.sum(diffuse_s * w[..., None], axis=1)
+    acc = jnp.sum(w, axis=1, keepdims=True)
+    depth = jnp.sum(s * w, axis=1, keepdims=True)
+    if white_bkgd:
+        colour = colour + (1.0 - acc)
+        diffuse = diffuse + (1.0 - acc)
+    hw = (intrinsics.height, intrinsics.width)
+    return (
+        colour.reshape(*hw, 3),
+        depth.reshape(*hw, 1),
+        acc.reshape(*hw, 1),
+        diffuse.reshape(*hw, 3),
+    )
+
+
+def _config(**kw):
+    defaults = dict(
+        num_samples_per_ray=32,
+        camera_bounds=CameraBounds(1.0, 8.0),
+        perturb_sampled_points=False,
+        bricked_occupancy_alpha_thresh=0.0,
+        bricked_exit_eps=0.0,
+        white_bkgd=False,
+    )
+    defaults.update(kw)
+    return SHVoxGridRenderConfig(**defaults)
+
+
+@pytest.mark.parametrize("yaw,pitch", [(30.0, -35.0), (120.0, -10.0), (260.0, -60.0)])
+def test_bricked_matches_exact_oracle(key, yaw, pitch):
+    grid = _make_grid(key)
+    pose = pose_spherical(yaw, pitch, 4.0)
+    intrinsics = CameraIntrinsics(IMG, IMG, IMG * 1.1)
+
+    out = render_image_bricked(grid, pose, intrinsics, _config(), interpret=True)
+    colour, depth, acc, _ = _oracle_render(grid, pose, intrinsics)
+
+    np.testing.assert_allclose(np.asarray(out.colour), np.asarray(colour), atol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(out.extra[EXTRA_ACCUMULATED_WEIGHTS]), np.asarray(acc), atol=2e-2
+    )
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(depth), atol=0.1)
+    # the scene must actually be non-trivial for the comparison to mean anything
+    assert float(jnp.max(acc)) > 0.5
+
+
+def test_bricked_white_bkgd_and_diffuse(key):
+    grid = _make_grid(key)
+    pose = pose_spherical(75.0, -25.0, 4.0)
+    intrinsics = CameraIntrinsics(IMG, IMG, IMG * 1.1)
+
+    out = render_image_bricked(
+        grid, pose, intrinsics,
+        _config(white_bkgd=True, also_render_diffuse=True), interpret=True,
+    )
+    colour, _, _, diffuse = _oracle_render(grid, pose, intrinsics, white_bkgd=True)
+    np.testing.assert_allclose(np.asarray(out.colour), np.asarray(colour), atol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(out.extra[EXTRA_DIFFUSE_COLOUR]), np.asarray(diffuse), atol=2e-2
+    )
+
+
+def test_occupancy_skip_and_early_exit_are_neutral(key):
+    """Enabling empty-space skipping + early exit must not change the image."""
+    grid = _make_grid(key, sparse=True)
+    pose = pose_spherical(200.0, -45.0, 4.0)
+    intrinsics = CameraIntrinsics(IMG, IMG, IMG * 1.1)
+
+    base = render_image_bricked(grid, pose, intrinsics, _config(), interpret=True)
+    skipped = render_image_bricked(
+        grid, pose, intrinsics,
+        _config(bricked_occupancy_alpha_thresh=1e-4, bricked_exit_eps=1e-4),
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(skipped.colour), np.asarray(base.colour), atol=3e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(skipped.extra[EXTRA_ACCUMULATED_WEIGHTS]),
+        np.asarray(base.extra[EXTRA_ACCUMULATED_WEIGHTS]),
+        atol=3e-3,
+    )
+
+
+def test_non_multiple_of_tile_image_crops(key):
+    """Image dims that aren't multiples of 16 render via padding + crop."""
+    grid = _make_grid(key)
+    pose = pose_spherical(30.0, -35.0, 4.0)
+    full = render_image_bricked(
+        grid, pose, CameraIntrinsics(32, 32, 32 * 1.1), _config(), interpret=True
+    )
+    odd = render_image_bricked(
+        grid, pose, CameraIntrinsics(25, 19, 32 * 1.1), _config(), interpret=True
+    )
+    assert odd.colour.shape == (25, 19, 3)
+    # same focal + same principal-point convention: the odd image is NOT a crop of
+    # the 32x32 one (centers differ), so just sanity-check finiteness and range
+    assert bool(jnp.all(jnp.isfinite(odd.colour)))
+
+
+def test_volumetric_model_dispatches_bricked(key):
+    from thr3ed_atom_tpu.modules.volumetric_model import VolumetricModel
+
+    grid = _make_grid(key)
+    vol_mod = VolumetricModel(
+        grid,
+        render_procedure="render_sh_voxel_grid_bricked",
+        render_config=_config(),
+    )
+    pose = pose_spherical(30.0, -35.0, 4.0)
+    intrinsics = CameraIntrinsics(IMG, IMG, IMG * 1.1)
+    out = vol_mod.render(pose, intrinsics)
+    colour, _, _, _ = _oracle_render(grid, pose, intrinsics)
+    np.testing.assert_allclose(np.asarray(out.colour), np.asarray(colour), atol=2e-2)
+    # repack cache: second render of the same pose family reuses the prepared grid
+    assert len(vol_mod._image_render_cache) == 1
+    vol_mod.render(pose, intrinsics)
+    assert len(vol_mod._image_render_cache) == 1

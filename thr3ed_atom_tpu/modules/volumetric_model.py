@@ -118,6 +118,22 @@ class VolumetricModel:
         overrides = dict(config_overrides)
         overrides.setdefault("perturb_sampled_points", False)
         config = self._render_config.replace(**overrides)
+
+        # pose-structured procedures (the bricked slab-march kernel) render the whole
+        # image in one launch instead of looping flat ray chunks
+        image_fn = getattr(self.render_procedure, "render_image", None)
+        if image_fn is not None:
+            if not hasattr(self, "_image_render_cache"):
+                self._image_render_cache = {}
+            return image_fn(
+                self._thre3d_repr,
+                camera_pose,
+                camera_intrinsics,
+                config,
+                key=key,
+                cache=self._image_render_cache,
+            )
+
         chunk_size = (
             parallel_rays_chunk_size
             if parallel_rays_chunk_size is not None

@@ -1,0 +1,596 @@
+"""Bricked (slab-march) render procedure: pose-level orchestration of the fused
+Pallas kernel in ops/pallas/slab_march.py.
+
+This is the TPU-native replacement for the whole per-sample render pipeline of the
+reference (thre3d_atom/thre3d_reprs/voxels.py:295-321 double grid_sample ->
+rendering/volumetric/process.py:20 SH shading -> accumulate.py:49-88 compositing).
+Instead of gathering 8 grid corners per sample from HBM, the grid is repacked ONCE per
+camera pose into front-to-back *slabs* along the pose's dominant axis, and a single
+kernel launch marches every 16x16-pixel tile of the image through the occupied slabs.
+
+Sampling semantics: one sample per slab crossing (the x-cell-center planes), where
+in-plane bilinear interpolation is EXACTLY the trilinear interpolant of the grid. The
+sample count per ray is therefore the geometric ~N..sqrt(3)N instead of the reference's
+fixed `num_samples_per_ray`; quality equivalence vs the exact renderer is pinned by
+tests/test_bricked.py (same points, same interpolant) and by trained-scene PSNR tests.
+
+Pipeline per pose (all jitted):
+  1. ``prepare_bricked_grid``   - slab-average + repack to [XG, U, V, GS*32] bf16,
+                                  plus a dilated occupancy mip for empty-space skipping
+  2. ``compute_ray_features``   - per-ray affine slab-march coefficients + SH basis
+  3. ``build_tables``           - per-tile front-to-back lists of occupied patch DMAs
+  4. ``slab_march_render``      - the fused kernel (one launch for the whole image)
+  5. un-tile + white background / disparity postprocessing
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thr3ed_atom_tpu.models.voxels import VoxelGrid
+from thr3ed_atom_tpu.ops.pallas.slab_march import (
+    GS,
+    L_AT,
+    L_AU,
+    L_AV,
+    L_BT,
+    L_BU,
+    L_BV,
+    L_DELTA,
+    L_JMAX,
+    L_JMIN,
+    L_Y0,
+    LAN,
+    LANES_PER_SLAB,
+    PU,
+    PV,
+    R,
+    RAY_LANES,
+    TILE_PX,
+    slab_march_render,
+)
+from thr3ed_atom_tpu.ops.sh import C0, C1, C2
+from thr3ed_atom_tpu.rendering.interface import RenderOut
+from thr3ed_atom_tpu.utils.constants import (
+    EXTRA_ACCUMULATED_WEIGHTS,
+    EXTRA_DIFFUSE_COLOUR,
+    EXTRA_DISPARITY,
+    ZERO_PLUS,
+)
+from thr3ed_atom_tpu.utils.logging import log
+
+
+class BrickedStatics(NamedTuple):
+    """Hashable statics selecting one compiled bricked-render program."""
+
+    dims: Tuple[int, int, int]  # grid vertex counts (W, D, H)
+    aabb: Tuple[Tuple[float, float], Tuple[float, float], Tuple[float, float]]
+    axis: int  # dominant world axis the slabs march along
+    flip: bool  # True when the pose looks toward decreasing `axis`
+    ncoeff: int  # SH coefficients per colour
+    relu_sigma: bool  # density post-activation is relu (else identity)
+    exit_eps: float  # early-exit transmittance threshold
+    occ_sigma_thresh: float  # occupancy-mip density threshold for group skipping
+    with_diffuse: bool
+    interpret: bool  # run the kernel in interpreter mode (CPU tests)
+
+
+def _uv_axes(axis: int) -> Tuple[int, int]:
+    others = [0, 1, 2]
+    others.remove(axis)
+    return others[0], others[1]
+
+
+def _slab_geometry(statics: BrickedStatics):
+    """Static slab/patch geometry derived from the grid dims and the march axis."""
+    dims, aabb, axis = statics.dims, statics.aabb, statics.axis
+    u_ax, v_ax = _uv_axes(axis)
+    num_slabs = dims[axis] - 1
+    num_groups = -(-num_slabs // GS)
+    u_real, v_real = dims[u_ax], dims[v_ax]
+    u_pad = max(u_real, PU)
+    v_pad = max(-(-v_real // 8) * 8, PV)
+    scales = tuple(
+        dims[i] / (aabb[i][1] - aabb[i][0]) for i in range(3)
+    )  # world -> continuous vertex coordinate scale per axis
+    return u_ax, v_ax, num_slabs, num_groups, u_real, v_real, u_pad, v_pad, scales
+
+
+def statics_for_grid(
+    voxel_grid: VoxelGrid,
+    axis: int,
+    flip: bool,
+    *,
+    exit_eps: float = 1e-4,
+    occupancy_alpha_thresh: float = 1e-4,
+    with_diffuse: bool = False,
+    interpret: bool = False,
+) -> BrickedStatics:
+    num_features = voxel_grid.num_features
+    assert num_features % 3 == 0, "SH feature count must be 3 * (degree + 1)^2"
+    ncoeff = num_features // 3
+    assert ncoeff <= 9, "bricked renderer supports SH degree <= 2 (32-lane slabs)"
+    assert int(round(ncoeff**0.5)) ** 2 == ncoeff
+    post = voxel_grid.density_postactivation
+    assert post in ("identity", "relu"), (
+        f"bricked renderer supports identity/relu density postactivation, got {post}"
+    )
+    assert voxel_grid.feature_postactivation == "identity"
+    aabb = voxel_grid.aabb
+    dims = voxel_grid.grid_dims
+    # convert the per-sample alpha threshold to a density threshold: delta per slab
+    # crossing is cell_a * ||d|| / |d_a| in [cell_a, sqrt(3) * cell_a] for the
+    # dominant axis, so alpha <= sigma * sqrt(3) * cell_a for small alpha
+    cell_a = (aabb[axis][1] - aabb[axis][0]) / dims[axis]
+    occ_sigma_thresh = occupancy_alpha_thresh / (cell_a * math.sqrt(3.0))
+    return BrickedStatics(
+        dims=tuple(dims),
+        aabb=tuple((float(lo), float(hi)) for (lo, hi) in aabb),
+        axis=axis,
+        flip=bool(flip),
+        ncoeff=ncoeff,
+        relu_sigma=(post == "relu"),
+        exit_eps=float(exit_eps),
+        occ_sigma_thresh=float(occ_sigma_thresh),
+        with_diffuse=bool(with_diffuse),
+        interpret=bool(interpret),
+    )
+
+
+def dominant_axis_for_pose(rotation: np.ndarray) -> Tuple[int, bool]:
+    """March axis + flip from the camera's forward direction (-R[:, 2] in the
+    OpenGL-style convention used by rays.cast_rays)."""
+    forward = -np.asarray(rotation).reshape(3, 3)[:, 2]
+    axis = int(np.argmax(np.abs(forward)))
+    return axis, bool(forward[axis] < 0.0)
+
+
+# -------------------------------------------------------------------- grid repacking
+
+
+@partial(jax.jit, static_argnums=(1,))
+def prepare_bricked_grid(voxel_grid: VoxelGrid, statics: BrickedStatics):
+    """Repack the (pre-activated) grid into front-to-back slabs.
+
+    Returns:
+        repacked: [XG, U_pad, V_pad, GS*32] bf16 — lane block b holds slab
+            (g*GS + b)'s 32 channels (features ++ density ++ zero pad)
+        occ_dil:  [XG, U8, V8] f32 — 3x3-dilated occupancy mip of max density per
+            (group, 8x8 vertex block); a patch anchored at (u0, v0) is fully covered
+            by the mip cell (u0 // 8, v0 // 8)
+    """
+    (u_ax, v_ax, num_slabs, num_groups, _u_real, _v_real, u_pad, v_pad, _scales
+     ) = _slab_geometry(statics)
+    nf = 3 * statics.ncoeff
+
+    pre_densities, pre_features = voxel_grid.activated_grids()
+    unified = jnp.concatenate([pre_features, pre_densities], axis=-1)
+    pad_ch = LANES_PER_SLAB - unified.shape[-1]
+    unified = jnp.pad(unified, ((0, 0), (0, 0), (0, 0), (0, pad_ch)))
+
+    order = (statics.axis, u_ax, v_ax, 3)
+    arr = jnp.transpose(unified, order)  # [A, U, V, 32]
+    if statics.flip:
+        arr = arr[::-1]
+    slabs = 0.5 * (arr[:-1] + arr[1:])  # [S, U, V, 32] — trilinear at cell centers
+
+    s_pad = num_groups * GS
+    slabs = jnp.pad(
+        slabs,
+        (
+            (0, s_pad - num_slabs),
+            (0, u_pad - slabs.shape[1]),
+            (0, v_pad - slabs.shape[2]),
+            (0, 0),
+        ),
+    )
+
+    # occupancy mip BEFORE the lane transpose: max density over (GS slabs, 8u, 8v)
+    u8, v8 = u_pad // 8, v_pad // 8
+    # u_pad is only guaranteed a multiple of 8 when >= PU; pad up for the mip
+    u8 = -(-u_pad // 8)
+    v8 = -(-v_pad // 8)
+    occ_src = slabs[..., nf]
+    occ_src = jnp.pad(
+        occ_src, ((0, 0), (0, u8 * 8 - u_pad), (0, v8 * 8 - v_pad))
+    )
+    occ = jnp.max(
+        occ_src.reshape(num_groups, GS, u8, 8, v8, 8), axis=(1, 3, 5)
+    )  # [XG, U8, V8]
+    neg = jnp.full_like(occ, -jnp.inf)
+    occ_p = jnp.concatenate([occ, neg[:, :2]], axis=1)
+    occ_p = jnp.concatenate([occ_p, jnp.full_like(occ_p[:, :, :2], -jnp.inf)], axis=2)
+    occ_dil = jnp.max(
+        jnp.stack(
+            [occ_p[:, i:i + u8, j:j + v8] for i in range(3) for j in range(3)]
+        ),
+        axis=0,
+    )
+
+    repacked = (
+        slabs.reshape(num_groups, GS, u_pad, v_pad, LANES_PER_SLAB)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(num_groups, u_pad, v_pad, GS * LANES_PER_SLAB)
+        .astype(jnp.bfloat16)
+    )
+    return repacked, occ_dil
+
+
+# -------------------------------------------------------------------- ray features
+
+
+def _sh_basis(viewdirs: jnp.ndarray, ncoeff: int) -> jnp.ndarray:
+    """SH basis values Y_i(dir) matching ops/sh.py's evaluation ladder: [..., ncoeff]."""
+    x, y, z = viewdirs[..., 0], viewdirs[..., 1], viewdirs[..., 2]
+    ys = [jnp.full_like(x, C0)]
+    if ncoeff > 1:
+        ys += [-C1 * y, C1 * z, -C1 * x]
+    if ncoeff > 4:
+        xx, yy, zz = x * x, y * y, z * z
+        ys += [
+            C2[0] * x * y,
+            C2[1] * y * z,
+            C2[2] * (2.0 * zz - xx - yy),
+            C2[3] * x * z,
+            C2[4] * (xx - yy),
+        ]
+    return jnp.stack(ys, axis=-1)
+
+
+def compute_ray_features(
+    origins: jnp.ndarray,  # [T, R, 3] world-space ray origins
+    directions: jnp.ndarray,  # [T, R, 3] (not necessarily unit)
+    statics: BrickedStatics,
+) -> jnp.ndarray:  # [T, R, RAY_LANES] f32
+    """Per-ray affine slab-march coefficients in repack space.
+
+    In repack space slab j sits at continuous vertex coordinate t_axis = j + 0.5
+    (physical k = S-1-j when flipped); the ray's world depth s(j), in-plane vertex
+    coordinates u(j), v(j) are all affine in j. jmin/jmax bound the slabs whose
+    sample point is strictly inside the AABB and in front of the camera — outside
+    samples have zero density in the exact renderer (voxels.py test_inside_volume),
+    here they are masked in-kernel.
+    """
+    (u_ax, v_ax, num_slabs, _num_groups, u_real, v_real, _u_pad, _v_pad, scales
+     ) = _slab_geometry(statics)
+    axis = statics.axis
+    lo = [statics.aabb[i][0] for i in range(3)]
+
+    o_a = origins[..., axis]
+    d_a = directions[..., axis]
+    d_a = jnp.where(jnp.abs(d_a) < 1e-12, 1e-12, d_a)
+
+    # physical slab k: world coord lo_a + (k + 1) / scale_a; s_k = s0 + k * ds
+    ds = 1.0 / (scales[axis] * d_a)
+    s0 = (lo[axis] + 1.0 / scales[axis] - o_a) / d_a
+    if statics.flip:
+        at = s0 + (num_slabs - 1) * ds
+        bts = -ds
+    else:
+        at = s0
+        bts = ds
+    # rays marching against the repack direction never produce valid samples
+    forwardish = bts > 0.0
+
+    def affine_uv(ax):
+        scale = scales[ax]
+        a0 = (origins[..., ax] - lo[ax]) * scale - 0.5 + at * directions[..., ax] * scale
+        b0 = bts * directions[..., ax] * scale
+        return a0, b0
+
+    au, bu = affine_uv(u_ax)
+    av, bv = affine_uv(v_ax)
+
+    def interval(a0, b0, n_real):
+        b_safe = jnp.where(jnp.abs(b0) < 1e-12, 1e-12, b0)
+        e0 = (-0.5 - a0) / b_safe
+        e1 = (n_real - 0.5 - a0) / b_safe
+        return jnp.minimum(e0, e1), jnp.maximum(e0, e1)
+
+    lo_u, hi_u = interval(au, bu, u_real)
+    lo_v, hi_v = interval(av, bv, v_real)
+    # s(j) > 0: j > -at / bts (bts > 0 for live rays)
+    lo_s = -at / jnp.where(jnp.abs(bts) < 1e-12, 1e-12, bts)
+
+    jminf = jnp.maximum(jnp.maximum(lo_u, lo_v), jnp.maximum(lo_s, 0.0))
+    jmaxf = jnp.minimum(jnp.minimum(hi_u, hi_v), float(num_slabs - 1))
+    jmaxf = jnp.where(forwardish, jmaxf, -1.0)
+    jminf = jnp.where(forwardish, jminf, 0.0)
+
+    norm = jnp.linalg.norm(directions, axis=-1)
+    delta_w = bts * norm
+
+    ybasis = _sh_basis(directions / norm[..., None], statics.ncoeff)  # [T, R, nc]
+    ytile = jnp.tile(ybasis, (1, 1, 3))  # lanes c < 3 * ncoeff: Y_{c % ncoeff}
+    ytile = jnp.pad(
+        ytile, ((0, 0), (0, 0), (0, LANES_PER_SLAB - ytile.shape[-1]))
+    )
+
+    feat = jnp.zeros((*origins.shape[:2], RAY_LANES), jnp.float32)
+    for lane, val in (
+        (L_AU, au), (L_BU, bu), (L_AV, av), (L_BV, bv),
+        (L_AT, at), (L_BT, bts), (L_JMIN, jminf), (L_JMAX, jmaxf),
+        (L_DELTA, delta_w),
+    ):
+        feat = feat.at[..., lane].set(val)
+    feat = feat.at[..., L_Y0:L_Y0 + LANES_PER_SLAB].set(ytile)
+    return feat
+
+
+# -------------------------------------------------------------------- tables
+
+
+def build_tables(
+    rays_feat: jnp.ndarray,  # [T, R, RAY_LANES]
+    occ_dil: jnp.ndarray,  # [XG, U8, V8] dilated occupancy mip
+    statics: BrickedStatics,
+):
+    """Per-tile compacted front-to-back traversal tables.
+
+    Returns (tables [T, G, 4] int32 = (group, u0, v0, 0), counts [T, 1] int32,
+    overflow bool — True when some tile's ray footprint exceeded the patch size,
+    which would drop taps; callers should fail loudly or fall back).
+    """
+    (u_ax, v_ax, _num_slabs, num_groups, u_real, v_real, u_pad, v_pad, _scales
+     ) = _slab_geometry(statics)
+
+    au = rays_feat[..., L_AU][..., None]  # [T, R, 1]
+    bu = rays_feat[..., L_BU][..., None]
+    av = rays_feat[..., L_AV][..., None]
+    bv = rays_feat[..., L_BV][..., None]
+    jminf = rays_feat[..., L_JMIN][..., None]
+    jmaxf = rays_feat[..., L_JMAX][..., None]
+
+    g_iota = jnp.arange(num_groups, dtype=jnp.float32)[None, None, :]  # [1, 1, G]
+    glo = g_iota * GS
+    ghi = glo + (GS - 1)
+    live = (jminf <= ghi) & (jmaxf >= glo) & (jminf <= jmaxf)  # [T, R, G]
+
+    j_a = jnp.clip(glo, jminf, jmaxf)
+    j_b = jnp.clip(ghi, jminf, jmaxf)
+
+    big = jnp.float32(1e9)
+
+    def span(a0, b0):
+        ea = a0 + b0 * j_a
+        eb = a0 + b0 * j_b
+        lo_r = jnp.minimum(ea, eb)
+        hi_r = jnp.maximum(ea, eb)
+        lo_t = jnp.min(jnp.where(live, lo_r, big), axis=1)  # [T, G]
+        hi_t = jnp.max(jnp.where(live, hi_r, -big), axis=1)
+        return lo_t, hi_t
+
+    ulo, uhi = span(au, bu)
+    vlo, vhi = span(av, bv)
+    any_live = jnp.any(live, axis=1)  # [T, G]
+
+    u0 = jnp.clip(jnp.floor(ulo), 0.0, float(u_pad - PU)).astype(jnp.int32)
+    v0 = (jnp.clip(jnp.floor(vlo), 0.0, float(v_pad - PV)).astype(jnp.int32) // 8) * 8
+    u0 = jnp.where(any_live, u0, 0)
+    v0 = jnp.where(any_live, v0, 0)
+
+    # coverage check: every needed REAL vertex tap must fall inside the patch
+    need_hi_u = jnp.minimum(jnp.floor(uhi) + 1.0, float(u_real - 1))
+    need_hi_v = jnp.minimum(jnp.floor(vhi) + 1.0, float(v_real - 1))
+    overflow = jnp.any(
+        any_live
+        & (
+            (need_hi_u > u0.astype(jnp.float32) + (PU - 1))
+            | (need_hi_v > v0.astype(jnp.float32) + (PV - 1))
+        )
+    )
+
+    occ_val = occ_dil[
+        jnp.arange(num_groups)[None, :], u0 // 8, v0 // 8
+    ]  # [T, G]
+    active = any_live & (occ_val > statics.occ_sigma_thresh)
+
+    g_idx = jnp.arange(num_groups, dtype=jnp.int32)[None, :]
+    sort_key = jnp.where(active, g_idx, 2 * num_groups)
+    order = jnp.argsort(sort_key, axis=-1)  # stable: active groups first, in order
+    tables = jnp.stack(
+        [
+            jnp.take_along_axis(jnp.broadcast_to(g_idx, active.shape), order, axis=-1),
+            jnp.take_along_axis(u0, order, axis=-1),
+            jnp.take_along_axis(v0, order, axis=-1),
+            jnp.zeros_like(u0),
+        ],
+        axis=-1,
+    ).astype(jnp.int32)
+    counts = jnp.sum(active, axis=-1, dtype=jnp.int32)[:, None]
+    return tables, counts, overflow
+
+
+# -------------------------------------------------------------------- image renderer
+
+
+def _tile_image_rays(height_pad, width_pad, focal, height, width, rotation, translation):
+    """Cast rays for a padded image and regroup them into 16x16-pixel tiles.
+
+    Pixel centers / focal match rays.cast_rays for the REAL (height, width); the pad
+    pixels are extra off-frame rays that get cropped after rendering.
+    """
+    x = jnp.arange(width_pad, dtype=jnp.float32) + 0.5
+    y = jnp.arange(height_pad, dtype=jnp.float32) + 0.5
+    xg, yg = jnp.meshgrid(x, y, indexing="xy")
+    dirs_cam = jnp.stack(
+        [(xg - width * 0.5) / focal, -(yg - height * 0.5) / focal, -jnp.ones_like(xg)],
+        axis=-1,
+    )
+    rays_d = jnp.einsum("ij,hwj->hwi", rotation, dirs_cam)
+    rays_o = jnp.broadcast_to(translation.reshape(3), rays_d.shape)
+
+    th, tw = height_pad // TILE_PX, width_pad // TILE_PX
+
+    def tile(a):
+        return (
+            a.reshape(th, TILE_PX, tw, TILE_PX, 3)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(th * tw, R, 3)
+        )
+
+    return tile(rays_o), tile(rays_d)
+
+
+def _untile(out: jnp.ndarray, height_pad: int, width_pad: int) -> jnp.ndarray:
+    th, tw = height_pad // TILE_PX, width_pad // TILE_PX
+    c = out.shape[-1]
+    return (
+        out.reshape(th, tw, TILE_PX, TILE_PX, c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(height_pad, width_pad, c)
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _render_image_jit(
+    statics: BrickedStatics,
+    height: int,
+    width: int,
+    focal: float,
+    white_bkgd: bool,
+    want_diffuse: bool,
+    repacked: jnp.ndarray,
+    occ_dil: jnp.ndarray,
+    rotation: jnp.ndarray,
+    translation: jnp.ndarray,
+):
+    height_pad = -(-height // TILE_PX) * TILE_PX
+    width_pad = -(-width // TILE_PX) * TILE_PX
+    rays_o, rays_d = _tile_image_rays(
+        height_pad, width_pad, focal, height, width, rotation, translation
+    )
+    rays_feat = compute_ray_features(rays_o, rays_d, statics)
+    tables, counts, overflow = build_tables(rays_feat, occ_dil, statics)
+    out = slab_march_render(
+        tables,
+        counts,
+        rays_feat,
+        repacked,
+        ncoeff=statics.ncoeff,
+        relu_sigma=statics.relu_sigma,
+        exit_eps=statics.exit_eps,
+        with_diffuse=statics.with_diffuse,
+        interpret=statics.interpret,
+    )
+    img = _untile(out, height_pad, width_pad)[:height, :width]
+    colour = img[..., 0:3]
+    acc = img[..., 3:4]
+    depth = img[..., 4:5]
+    if white_bkgd:
+        colour = colour + (1.0 - acc)
+    disparity = 1.0 / jnp.maximum(
+        ZERO_PLUS, depth / jnp.maximum(acc, ZERO_PLUS)
+    )
+    extra = {EXTRA_DISPARITY: disparity, EXTRA_ACCUMULATED_WEIGHTS: acc}
+    if want_diffuse:
+        diffuse = img[..., 5:8]
+        if white_bkgd:
+            diffuse = diffuse + (1.0 - acc)
+        extra[EXTRA_DIFFUSE_COLOUR] = diffuse
+    return RenderOut(colour=colour, depth=depth, extra=extra), overflow
+
+
+_warned_overflow = False
+
+
+def render_image_bricked(
+    voxel_grid: VoxelGrid,
+    camera_pose,
+    camera_intrinsics,
+    config,
+    key: Optional[jax.Array] = None,
+    cache: Optional[dict] = None,
+    interpret: Optional[bool] = None,
+) -> RenderOut:
+    """Full-image render via the slab-march kernel (pose-level API).
+
+    The per-pose repacked grid is cached in ``cache`` (keyed by march axis/flip,
+    invalidated when the grid arrays change) — orbits re-use at most 6 repacks.
+    """
+    del key  # deterministic: sampling is at fixed slab crossings
+    rotation = np.asarray(camera_pose.rotation).reshape(3, 3)
+    axis, flip = dominant_axis_for_pose(rotation)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    want_diffuse = bool(
+        getattr(config, "also_render_diffuse", False)
+        or getattr(config, "render_diffuse", False)
+    )
+    statics = statics_for_grid(
+        voxel_grid,
+        axis,
+        flip,
+        exit_eps=config.bricked_exit_eps,
+        occupancy_alpha_thresh=config.bricked_occupancy_alpha_thresh,
+        with_diffuse=want_diffuse,
+        interpret=interpret,
+    )
+
+    prepared = None
+    if cache is not None:
+        entry = cache.get((axis, flip, statics.occ_sigma_thresh))
+        if (
+            entry is not None
+            and entry[0] is voxel_grid.densities
+            and entry[1] is voxel_grid.features
+        ):
+            prepared = entry[2]
+    if prepared is None:
+        prepared = prepare_bricked_grid(voxel_grid, statics)
+        if cache is not None:
+            cache[(axis, flip, statics.occ_sigma_thresh)] = (
+                voxel_grid.densities,
+                voxel_grid.features,
+                prepared,
+            )
+    repacked, occ_dil = prepared
+
+    out, overflow = _render_image_jit(
+        statics,
+        int(camera_intrinsics.height),
+        int(camera_intrinsics.width),
+        float(camera_intrinsics.focal),
+        bool(config.white_bkgd),
+        want_diffuse,
+        repacked,
+        occ_dil,
+        jnp.asarray(rotation, jnp.float32),
+        jnp.asarray(np.asarray(camera_pose.translation), jnp.float32).reshape(3),
+    )
+    global _warned_overflow
+    if not _warned_overflow and bool(overflow):
+        _warned_overflow = True
+        log.warning(
+            "bricked renderer: a tile's ray footprint exceeded the %dx%d patch — "
+            "some interpolation taps were dropped (extreme FOV or grazing pose). "
+            "Use render_sh_voxel_grid_fast for this camera.",
+            PU,
+            PV,
+        )
+    return out
+
+
+class _BrickedProcedure:
+    """RENDER_PROCEDURES entry: bricked rendering is pose-structured, so the flat-ray
+    call signature cannot apply — VolumetricModel.render dispatches to render_image
+    (and the tile-based trainer drives the kernel directly)."""
+
+    prepare = None
+    render_image = staticmethod(render_image_bricked)
+
+    def __call__(self, voxel_grid, rays, render_config, key=None, prepared=None):
+        raise NotImplementedError(
+            "render_sh_voxel_grid_bricked renders whole camera poses, not flat ray "
+            "batches; call VolumetricModel.render(pose, intrinsics) (which dispatches "
+            "to rendering.bricked.render_image_bricked) or use "
+            "render_sh_voxel_grid_fast for arbitrary ray sets."
+        )
+
+
+render_sh_voxel_grid_bricked = _BrickedProcedure()

@@ -63,6 +63,13 @@ class SHVoxGridRenderConfig:
     # 8 corners straight from the raw feature grid
     fast_pack_features: bool = True
 
+    # bricked (slab-march kernel) renderer knobs — see rendering/bricked.py:
+    # per-tile early-exit transmittance threshold (0 disables early exit)
+    bricked_exit_eps: float = 1e-4
+    # skip (tile, slab-group) patches whose max per-sample alpha is below this
+    # (0 disables empty-space skipping)
+    bricked_occupancy_alpha_thresh: float = 1e-4
+
     def replace(self, **overrides) -> "SHVoxGridRenderConfig":
         return dataclasses.replace(self, **overrides)
 
@@ -150,8 +157,13 @@ from thr3ed_atom_tpu.rendering.hierarchical import (  # noqa: E402
 
 render_sh_voxel_grid_hierarchical.prepare = _prepare_fast
 
+from thr3ed_atom_tpu.rendering.bricked import (  # noqa: E402
+    render_sh_voxel_grid_bricked,
+)
+
 RENDER_PROCEDURES = {
     "render_sh_voxel_grid": render_sh_voxel_grid,
     "render_sh_voxel_grid_fast": render_sh_voxel_grid_fast,
     "render_sh_voxel_grid_hierarchical": render_sh_voxel_grid_hierarchical,
+    "render_sh_voxel_grid_bricked": render_sh_voxel_grid_bricked,
 }
