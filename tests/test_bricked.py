@@ -229,3 +229,62 @@ def test_volumetric_model_dispatches_bricked(key):
     assert len(vol_mod._image_render_cache) == 1
     vol_mod.render(pose, intrinsics)
     assert len(vol_mod._image_render_cache) == 1
+
+
+def test_diagonal_pose_with_overflow_splitting(key):
+    """A near-diagonal pose (per-ray slopes |du/dslab| ~ 3) exercises the
+    half/single-slab entry splitting; parity vs the oracle must hold."""
+    grid = _make_grid(key)
+    pose = pose_spherical(46.0, -49.5, 4.0)
+    intrinsics = CameraIntrinsics(IMG, IMG, IMG * 1.1)
+    out = render_image_bricked(grid, pose, intrinsics, _config(), interpret=True)
+    colour, depth, acc, _ = _oracle_render(grid, pose, intrinsics)
+    np.testing.assert_allclose(np.asarray(out.colour), np.asarray(colour), atol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(out.extra[EXTRA_ACCUMULATED_WEIGHTS]), np.asarray(acc), atol=2e-2
+    )
+
+
+def test_lattice_tables_match_exact_tables(key):
+    """Footprints bounded from the 4x4 ray lattice must produce the same image as
+    bounding from all rays (the margin absorbs the quasi-affine curvature)."""
+    from thr3ed_atom_tpu.rendering.bricked import (
+        _tile_image_rays,
+        build_tables,
+        compute_ray_features,
+        prepare_bricked_grid,
+        statics_for_grid,
+    )
+    from thr3ed_atom_tpu.ops.pallas.slab_march import slab_march_render
+
+    grid = _make_grid(key)
+    for yaw, pitch in [(46.0, -49.5), (120.0, -10.0)]:
+        pose = pose_spherical(yaw, pitch, 4.0)
+        rot = np.asarray(pose.rotation).reshape(3, 3)
+        from thr3ed_atom_tpu.rendering.bricked import dominant_axis_for_pose
+
+        axis, flip = dominant_axis_for_pose(rot)
+        statics = statics_for_grid(grid, axis, flip, exit_eps=0.0,
+                                   occupancy_alpha_thresh=0.0, interpret=True)
+        repacked, occ = prepare_bricked_grid(grid, statics)
+        ro, rd = _tile_image_rays(
+            IMG, IMG, IMG * 1.1, IMG, IMG,
+            jnp.asarray(rot, jnp.float32),
+            jnp.asarray(np.asarray(pose.translation), jnp.float32).reshape(3),
+            statics.tile_px,
+        )
+        rf = compute_ray_features(ro, rd, statics)
+        outs = []
+        for exact in (False, True):
+            tabs, counts, ovf = build_tables(rf, occ, statics, exact_spans=exact)
+            assert not bool(ovf)
+            outs.append(
+                slab_march_render(
+                    tabs, counts, rf, repacked, ncoeff=statics.ncoeff,
+                    relu_sigma=False, exit_eps=0.0, with_diffuse=False,
+                    interpret=True,
+                )
+            )
+        np.testing.assert_allclose(
+            np.asarray(outs[0]), np.asarray(outs[1]), atol=1e-5
+        )

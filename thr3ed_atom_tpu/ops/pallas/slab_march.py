@@ -11,12 +11,12 @@ Design (validated by experiments/probe_slab_kernel.py / probe_slab_v4_gs8.py):
 
   * The scene grid is repacked per camera pose as ``[XG, U, V, GS*32]`` bf16, where the
     leading axis marches along the pose's dominant world axis in front-to-back order.
-    Each of the ``GS = 8`` lane-blocks of 32 channels is one *slab*: the average of two
+    Each of the ``GS`` lane-blocks of 32 channels is one *slab*: the average of two
     adjacent vertex planes, i.e. the exact trilinear interpolant at the x-cell-center
     plane. One sample per slab crossing makes in-plane *bilinear* interpolation exactly
     *trilinear* at the sample points.
-  * Rays are marched in tiles of R = 256 (16x16 pixels). Per (tile, group-of-8-slabs)
-    the kernel DMAs one [PU=16, PV=24, 256] patch into VMEM (double-buffered), builds
+  * Rays are marched in tiles of R = 256 (16x16 pixels). Per (tile, group-of-GS-slabs)
+    the kernel DMAs one [PU, PV, GS*32] patch into VMEM (double-buffered), builds
     bilinear tent weights ``W [GS*R, PU*PV]`` in bf16 (tents ARE the bilinear weights:
     max(0, 1 - |u - uq|)), and computes all GS*R interpolations with ONE MXU matmul
     ``W @ patch``. SH shading folds through a per-ray Y-basis row and a static
@@ -46,14 +46,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 # ---------------------------------------------------------------------- constants
 
-GS = 8  # slabs per group: one DMA'd patch serves GS slab crossings
+# GS = 4 bounds the within-group ray drift to 3 * |du/dslab| cells; a 24x32 patch
+# then covers a 16px tile's footprint at 128^3/400x400 for all but near-diagonal
+# poses, and build_tables splits overflowing groups into half/single-slab entries
+# (drift 1x/0x) so coverage stays exact at every pose. The probes measured the same
+# ~0.25 G samples/s plateau for 4 and 8 slabs per group (DESIGN_NOTES.md).
+GS = 4  # slabs per group: one DMA'd patch serves GS slab crossings
 LANES_PER_SLAB = 32  # 27 SH features + 1 density + 4 pad (supports SH degree <= 2)
-LAN = GS * LANES_PER_SLAB  # 256 lanes per patch row
-PU = 16  # patch extent (vertices) along u — untiled dim, arbitrary offsets
-PV = 24  # patch extent along v — sublane dim, offsets must be 8-aligned
-ROWS = PU * PV  # 384 = contraction size of the one-hot matmul
-TILE_PX = 16  # pixel tile edge
-R = TILE_PX * TILE_PX  # 256 rays per tile
+LAN = GS * LANES_PER_SLAB  # 128 lanes per patch row
+PU = 24  # patch extent (vertices) along u — untiled dim, arbitrary offsets
+PV = 32  # patch extent along v — sublane dim, offsets must be 8-aligned
+ROWS = PU * PV  # 768 = contraction size of the one-hot matmul
 
 # per-ray feature lanes ([T, R, RAY_LANES] f32)
 RAY_LANES = 48
@@ -82,12 +85,16 @@ def _selectors(ncoeff: int):
 
 
 def _make_forward_kernel(ncoeff: int, relu_sigma: bool, exit_eps: float,
-                         with_diffuse: bool):
+                         with_diffuse: bool, rays_per_tile: int):
     nf = 3 * ncoeff  # density lane index
+    R = rays_per_tile
 
-    def kernel(count_ref, tab_ref, rays_ref, grid_ref, out_ref):
+    # tab_ref row 0 holds (count, 0, 0, 0); rows 1.. are the traversal entries —
+    # a (1, 1) SMEM block for a separate counts array is rejected by the Mosaic
+    # lowering (last-two-dims divisibility), so the count rides in the table
+    def kernel(tab_ref, rays_ref, grid_ref, out_ref):
         def body(patch, state, sem):
-            count = count_ref[0, 0]
+            count = tab_ref[0, 0, 0]
             au = rays_ref[0, :, L_AU]
             bu = rays_ref[0, :, L_BU]
             av = rays_ref[0, :, L_AV]
@@ -112,9 +119,9 @@ def _make_forward_kernel(ncoeff: int, relu_sigma: bool, exit_eps: float,
             def get_dma(slot, i):
                 return pltpu.make_async_copy(
                     grid_ref.at[
-                        tab_ref[0, i, 0],
-                        pl.ds(tab_ref[0, i, 1], PU),
-                        pl.ds(pl.multiple_of(tab_ref[0, i, 2], 8), PV),
+                        tab_ref[0, i + 1, 0],
+                        pl.ds(tab_ref[0, i + 1, 1], PU),
+                        pl.ds(pl.multiple_of(tab_ref[0, i + 1, 2], 8), PV),
                         :,
                     ],
                     patch.at[slot],
@@ -127,9 +134,15 @@ def _make_forward_kernel(ncoeff: int, relu_sigma: bool, exit_eps: float,
 
             def group_body(carry):
                 i, T_in = carry
-                xg = tab_ref[0, i, 0]
-                u0f = tab_ref[0, i, 1].astype(jnp.float32)
-                v0f = tab_ref[0, i, 2].astype(jnp.float32)
+                xg = tab_ref[0, i + 1, 0]
+                u0f = tab_ref[0, i + 1, 1].astype(jnp.float32)
+                v0f = tab_ref[0, i + 1, 2].astype(jnp.float32)
+                # packed slab subrange (jlo * 256 + jhi, slab-local): entries emitted
+                # by build_tables' overflow splitting cover part of the group with a
+                # tighter patch
+                jpack = tab_ref[0, i + 1, 3]
+                jlo_e = (jpack // 256).astype(jnp.float32)
+                jhi_e = jax.lax.rem(jpack, 256).astype(jnp.float32)
                 slot = jax.lax.rem(i, 2)
 
                 @pl.when(i + 1 < count)
@@ -144,6 +157,7 @@ def _make_forward_kernel(ncoeff: int, relu_sigma: bool, exit_eps: float,
                 u3 = au[None, :, None] + bu[None, :, None] * jg3 - u0f
                 v3 = av[None, :, None] + bv[None, :, None] * jg3 - v0f
                 live3 = (jg3 >= jmin[None, :, None]) & (jg3 <= jmax[None, :, None])
+                live3 = live3 & (ks3 >= jlo_e) & (ks3 <= jhi_e)
 
                 # bilinear tents (f32 subtract for positional precision, bf16 products)
                 du = (u3 - uq3).astype(jnp.bfloat16)
@@ -223,18 +237,23 @@ def slab_march_render(
     interpret: bool = False,
 ) -> jnp.ndarray:  # [T, R, 8] f32: rgb, acc, depth, diffuse rgb
     num_tiles, num_groups, _ = tables.shape
-    assert rays_feat.shape == (num_tiles, R, RAY_LANES), rays_feat.shape
+    rays_per_tile = rays_feat.shape[1]
+    assert rays_feat.shape == (num_tiles, rays_per_tile, RAY_LANES), rays_feat.shape
     assert grid.shape[-1] == LAN and grid.dtype == jnp.bfloat16
     assert counts.shape == (num_tiles, 1)
     assert 1 <= ncoeff <= 9
-    kernel = _make_forward_kernel(ncoeff, relu_sigma, exit_eps, with_diffuse)
+    R = rays_per_tile
+    kernel = _make_forward_kernel(
+        ncoeff, relu_sigma, exit_eps, with_diffuse, rays_per_tile
+    )
+    counts_row = jnp.pad(counts.astype(jnp.int32), ((0, 0), (0, 3)))[:, None, :]
+    tab_full = jnp.concatenate([counts_row, tables], axis=1)  # [T, G + 1, 4]
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda t: (t, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, num_groups, 4), lambda t: (t, 0, 0), memory_space=pltpu.SMEM
+                (1, num_groups + 1, 4), lambda t: (t, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
                 (1, R, RAY_LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
@@ -249,4 +268,308 @@ def slab_march_render(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(counts, tables, rays_feat, grid)
+    )(tab_full, rays_feat, grid)
+
+
+# ============================================================== backward (custom VJP)
+
+
+def _make_backward_kernel(ncoeff: int, relu_sigma: bool, exit_eps: float,
+                          with_diffuse: bool, rays_per_tile: int):
+    """Backward = forward replay. No per-sample residuals: with the forward totals
+    (colour/acc/depth/diffuse sums) available, the suffix sums needed by
+    d alpha_i = T_i x_i - suffix_i / (1 - alpha_i) are reconstructed front-to-back
+    from running prefixes, and the (1 - alpha) division cancels analytically in
+    d sigma_i = delta * ((1 - alpha_i) T_i <g, x_i> - <g, suffix_i>).
+    Per-entry patch gradients (W^T @ d_interp, one MXU matmul) accumulate into the
+    repacked-grid cotangent with a read-modify-write DMA — race-free because TPU
+    grid steps run sequentially on the core."""
+    nf = 3 * ncoeff
+    R = rays_per_tile
+
+    def kernel(tab_ref, rays_ref, gout_ref, fwd_ref, grid_ref, _dgrid_in_ref,
+               dgrid_ref):
+        def body(patch, gpatch, sem, gsem):
+            count = tab_ref[0, 0, 0]
+            au = rays_ref[0, :, L_AU]
+            bu = rays_ref[0, :, L_BU]
+            av = rays_ref[0, :, L_AV]
+            bv = rays_ref[0, :, L_BV]
+            at = rays_ref[0, :, L_AT]
+            bt = rays_ref[0, :, L_BT]
+            jmin = rays_ref[0, :, L_JMIN]
+            jmax = rays_ref[0, :, L_JMAX]
+            delta = rays_ref[0, :, L_DELTA]
+            ytile = rays_ref[0, :, L_Y0:L_Y0 + LANES_PER_SLAB]
+
+            g_col = gout_ref[0, :, 0:3]
+            g_acc = gout_ref[0, :, 3]
+            g_dep = gout_ref[0, :, 4]
+            g_dif = gout_ref[0, :, 5:8]
+            tot = fwd_ref[0]  # [R, 8] forward totals
+
+            ks3 = jax.lax.broadcasted_iota(jnp.int32, (GS, R, 1), 0).astype(
+                jnp.float32
+            )
+            row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ROWS), 2)
+            uq3 = (row_iota // PV).astype(jnp.float32)
+            vq3 = (row_iota % PV).astype(jnp.float32)
+            sel, sel_diffuse = _selectors(ncoeff)
+            lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES_PER_SLAB), 1)
+            onehot_sigma = (lane_iota == nf).astype(jnp.float32)
+
+            def get_dma(slot, i):
+                return pltpu.make_async_copy(
+                    grid_ref.at[
+                        tab_ref[0, i + 1, 0],
+                        pl.ds(tab_ref[0, i + 1, 1], PU),
+                        pl.ds(pl.multiple_of(tab_ref[0, i + 1, 2], 8), PV),
+                        :,
+                    ],
+                    patch.at[slot],
+                    sem.at[slot],
+                )
+
+            @pl.when(count > 0)
+            def _():
+                get_dma(0, 0).start()
+
+            def entry_body(carry):
+                i, T_in, P_in = carry
+                xg = tab_ref[0, i + 1, 0]
+                u0 = tab_ref[0, i + 1, 1]
+                v0 = pl.multiple_of(tab_ref[0, i + 1, 2], 8)
+                u0f = u0.astype(jnp.float32)
+                v0f = v0.astype(jnp.float32)
+                jpack = tab_ref[0, i + 1, 3]
+                jlo_e = (jpack // 256).astype(jnp.float32)
+                jhi_e = jax.lax.rem(jpack, 256).astype(jnp.float32)
+                slot = jax.lax.rem(i, 2)
+
+                @pl.when(i + 1 < count)
+                def _():
+                    get_dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+                get_dma(slot, i).wait()
+                B = patch[slot].reshape(ROWS, LAN)
+
+                jg3 = xg.astype(jnp.float32) * GS + ks3
+                u3 = au[None, :, None] + bu[None, :, None] * jg3 - u0f
+                v3 = av[None, :, None] + bv[None, :, None] * jg3 - v0f
+                live3 = (jg3 >= jmin[None, :, None]) & (jg3 <= jmax[None, :, None])
+                live3 = live3 & (ks3 >= jlo_e) & (ks3 <= jhi_e)
+                du = (u3 - uq3).astype(jnp.bfloat16)
+                dv = (v3 - vq3).astype(jnp.bfloat16)
+                one = jnp.bfloat16(1.0)
+                zero = jnp.bfloat16(0.0)
+                wu = jnp.maximum(zero, one - jnp.abs(du))
+                wv = jnp.maximum(zero, one - jnp.abs(dv))
+                wu = jnp.where(live3, wu, zero)
+                W = (wu * wv).reshape(GS * R, ROWS)
+                interp = jnp.dot(W, B, preferred_element_type=jnp.float32)
+
+                T_cur = T_in
+                P = P_in
+                base = xg.astype(jnp.float32) * GS
+                d_blocks = []
+                for b in range(GS):
+                    ch = interp[b * R:(b + 1) * R,
+                                b * LANES_PER_SLAB:(b + 1) * LANES_PER_SLAB]
+                    chy = ch * ytile
+                    rgbraw = jnp.dot(chy, sel, preferred_element_type=jnp.float32)
+                    sigma_raw = ch[:, nf]
+                    sigma = jnp.maximum(sigma_raw, 0.0) if relu_sigma else sigma_raw
+                    araw = sigma * delta
+                    alpha = jnp.clip(1.0 - jnp.exp(-araw), 0.0, 1.0)
+                    w = alpha * T_cur
+                    s_dep = at + bt * (base + b)
+                    rgb = jax.nn.sigmoid(rgbraw[:, :3])
+                    if with_diffuse:
+                        difraw = jnp.dot(
+                            chy, sel_diffuse, preferred_element_type=jnp.float32
+                        )
+                        dif = jax.nn.sigmoid(difraw[:, :3])
+                        dif_c = dif * w[:, None]
+                    else:
+                        dif_c = jnp.zeros((R, 3), jnp.float32)
+                    contrib = jnp.concatenate(
+                        [rgb * w[:, None], w[:, None], (w * s_dep)[:, None], dif_c],
+                        axis=1,
+                    )
+                    P = P + contrib
+                    S = tot - P  # suffix sums EXCLUDING this sample
+
+                    inner = (
+                        jnp.sum(g_col * rgb, axis=-1) + g_acc + g_dep * s_dep
+                    )
+                    suff = (
+                        jnp.sum(g_col * S[:, 0:3], axis=-1)
+                        + g_acc * S[:, 3]
+                        + g_dep * S[:, 4]
+                    )
+                    if with_diffuse:
+                        inner = inner + jnp.sum(g_dif * dif, axis=-1)
+                        suff = suff + jnp.sum(g_dif * S[:, 5:8], axis=-1)
+                    dsig = delta * ((1.0 - alpha) * T_cur * inner - suff)
+                    if relu_sigma:
+                        dsig = jnp.where(sigma_raw > 0.0, dsig, 0.0)
+                    else:
+                        # alpha clip at 0 for negative raw densities kills the grad
+                        dsig = jnp.where(araw >= 0.0, dsig, 0.0)
+
+                    d_rgbraw = g_col * w[:, None] * rgb * (1.0 - rgb)  # [R, 3]
+                    d_raw8 = jnp.concatenate(
+                        [d_rgbraw, jnp.zeros((R, 5), jnp.float32)], axis=1
+                    )
+                    d_chy = jnp.dot(d_raw8, sel.T, preferred_element_type=jnp.float32)
+                    if with_diffuse:
+                        d_difraw = g_dif * w[:, None] * dif * (1.0 - dif)
+                        d_chy = d_chy + jnp.dot(
+                            jnp.concatenate(
+                                [d_difraw, jnp.zeros((R, 5), jnp.float32)], axis=1
+                            ),
+                            sel_diffuse.T,
+                            preferred_element_type=jnp.float32,
+                        )
+                    d_ch = d_chy * ytile + dsig[:, None] * onehot_sigma
+                    pre = b * LANES_PER_SLAB
+                    post = LAN - (b + 1) * LANES_PER_SLAB
+                    d_blocks.append(
+                        jnp.concatenate(
+                            [
+                                jnp.zeros((R, pre), jnp.float32),
+                                d_ch,
+                                jnp.zeros((R, post), jnp.float32),
+                            ],
+                            axis=1,
+                        )
+                    )
+                    T_cur = T_cur * (1.0 - alpha)
+
+                d_interp = jnp.concatenate(d_blocks, axis=0)  # [GS*R, LAN]
+                # d_patch = W^T @ d_interp via dot_general (no explicit transpose)
+                d_b = jax.lax.dot_general(
+                    W,
+                    d_interp.astype(jnp.bfloat16),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [ROWS, LAN]
+
+                # read-modify-write accumulation into the HBM cotangent
+                region = dgrid_ref.at[xg, pl.ds(u0, PU), pl.ds(v0, PV), :]
+                rd = pltpu.make_async_copy(region, gpatch, gsem)
+                rd.start()
+                rd.wait()
+                gpatch[...] = gpatch[...] + d_b.reshape(PU, PV, LAN)
+                wr = pltpu.make_async_copy(gpatch, region, gsem)
+                wr.start()
+                wr.wait()
+                return i + 1, T_cur, P
+
+            def entry_cond(carry):
+                i, T_cur, _p = carry
+                return (i < count) & (jnp.max(T_cur) > exit_eps)
+
+            jax.lax.while_loop(
+                entry_cond,
+                entry_body,
+                (0, jnp.ones((R,), jnp.float32), jnp.zeros((R, 8), jnp.float32)),
+            )
+
+        pl.run_scoped(
+            body,
+            patch=pltpu.VMEM((2, PU, PV, LAN), jnp.bfloat16),
+            gpatch=pltpu.VMEM((PU, PV, LAN), jnp.float32),
+            sem=pltpu.SemaphoreType.DMA((2,)),
+            gsem=pltpu.SemaphoreType.DMA(()),
+        )
+
+    return kernel
+
+
+def _forward_impl(tables, counts, rays_feat, grid, ncoeff, relu_sigma, exit_eps,
+                  with_diffuse, interpret):
+    return slab_march_render(
+        tables, counts, rays_feat, grid,
+        ncoeff=ncoeff, relu_sigma=relu_sigma, exit_eps=exit_eps,
+        with_diffuse=with_diffuse, interpret=interpret,
+    )
+
+
+def _backward_impl(tables, counts, rays_feat, grid, fwd_out, gout, ncoeff,
+                   relu_sigma, exit_eps, with_diffuse, interpret):
+    num_tiles, num_groups, _ = tables.shape
+    rays_per_tile = rays_feat.shape[1]
+    kernel = _make_backward_kernel(
+        ncoeff, relu_sigma, exit_eps, with_diffuse, rays_per_tile
+    )
+    counts_row = jnp.pad(counts.astype(jnp.int32), ((0, 0), (0, 3)))[:, None, :]
+    tab_full = jnp.concatenate([counts_row, tables], axis=1)
+    dgrid_init = jnp.zeros(grid.shape, jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, num_groups + 1, 4), lambda t: (t, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, rays_per_tile, RAY_LANES),
+                lambda t: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, rays_per_tile, 8), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, rays_per_tile, 8), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(grid.shape, jnp.float32),
+        input_output_aliases={5: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(tab_full, rays_feat, gout, fwd_out, grid, dgrid_init)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_differentiable(ncoeff, relu_sigma, exit_eps, with_diffuse, interpret):
+    @jax.custom_vjp
+    def march(tables, counts, rays_feat, grid):
+        return _forward_impl(tables, counts, rays_feat, grid, ncoeff, relu_sigma,
+                             exit_eps, with_diffuse, interpret)
+
+    def fwd(tables, counts, rays_feat, grid):
+        out = _forward_impl(tables, counts, rays_feat, grid, ncoeff, relu_sigma,
+                            exit_eps, with_diffuse, interpret)
+        return out, (tables, counts, rays_feat, grid, out)
+
+    def bwd(res, gout):
+        tables, counts, rays_feat, grid, out = res
+        d_grid = _backward_impl(
+            tables, counts, rays_feat, grid, out, gout, ncoeff, relu_sigma,
+            exit_eps, with_diffuse, interpret,
+        ).astype(grid.dtype)
+        return None, None, None, d_grid
+
+    march.defvjp(fwd, bwd)
+    return march
+
+
+def slab_march(
+    tables, counts, rays_feat, grid, *, ncoeff, relu_sigma=False, exit_eps=1e-4,
+    with_diffuse=False, interpret=False,
+):
+    """Differentiable slab-march render: gradients flow to ``grid`` (the repacked
+    bf16 slab grid) through a replay-based backward kernel; tables/counts/rays are
+    non-differentiable (sampling geometry)."""
+    fn = _make_differentiable(
+        ncoeff, bool(relu_sigma), float(exit_eps), bool(with_diffuse),
+        bool(interpret),
+    )
+    return fn(tables, counts, rays_feat, grid)

@@ -49,9 +49,7 @@ from thr3ed_atom_tpu.ops.pallas.slab_march import (
     LANES_PER_SLAB,
     PU,
     PV,
-    R,
     RAY_LANES,
-    TILE_PX,
     slab_march_render,
 )
 from thr3ed_atom_tpu.ops.sh import C0, C1, C2
@@ -77,6 +75,7 @@ class BrickedStatics(NamedTuple):
     exit_eps: float  # early-exit transmittance threshold
     occ_sigma_thresh: float  # occupancy-mip density threshold for group skipping
     with_diffuse: bool
+    tile_px: int  # pixel tile edge (rays per tile = tile_px^2)
     interpret: bool  # run the kernel in interpreter mode (CPU tests)
 
 
@@ -109,6 +108,7 @@ def statics_for_grid(
     exit_eps: float = 1e-4,
     occupancy_alpha_thresh: float = 1e-4,
     with_diffuse: bool = False,
+    tile_px: int = 0,
     interpret: bool = False,
 ) -> BrickedStatics:
     num_features = voxel_grid.num_features
@@ -128,6 +128,13 @@ def statics_for_grid(
     # dominant axis, so alpha <= sigma * sqrt(3) * cell_a for small alpha
     cell_a = (aabb[axis][1] - aabb[axis][0]) / dims[axis]
     occ_sigma_thresh = occupancy_alpha_thresh / (cell_a * math.sqrt(3.0))
+    if tile_px == 0:
+        # a 16px tile's in-plane footprint (tile spread + GS-1 drift + 2 bilinear
+        # taps) fits the 16x24 patch up to ~160^3 grids at typical NeRF FOVs;
+        # finer grids use 8px tiles (half the spread). build_tables still checks
+        # actual coverage and reports overflow.
+        tile_px = 16 if max(dims) <= 160 else 8
+    assert tile_px in (8, 16), tile_px
     return BrickedStatics(
         dims=tuple(dims),
         aabb=tuple((float(lo), float(hi)) for (lo, hi) in aabb),
@@ -138,6 +145,7 @@ def statics_for_grid(
         exit_eps=float(exit_eps),
         occ_sigma_thresh=float(occ_sigma_thresh),
         with_diffuse=bool(with_diffuse),
+        tile_px=int(tile_px),
         interpret=bool(interpret),
     )
 
@@ -311,45 +319,69 @@ def compute_ray_features(
         ytile, ((0, 0), (0, 0), (0, LANES_PER_SLAB - ytile.shape[-1]))
     )
 
-    feat = jnp.zeros((*origins.shape[:2], RAY_LANES), jnp.float32)
-    for lane, val in (
-        (L_AU, au), (L_BU, bu), (L_AV, av), (L_BV, bv),
-        (L_AT, at), (L_BT, bts), (L_JMIN, jminf), (L_JMAX, jmaxf),
-        (L_DELTA, delta_w),
-    ):
-        feat = feat.at[..., lane].set(val)
-    feat = feat.at[..., L_Y0:L_Y0 + LANES_PER_SLAB].set(ytile)
-    return feat
+    # one stack+concat (lane order must match the L_* constants) — building via
+    # repeated .at[].set materializes a full copy per lane on TPU
+    head = jnp.stack(
+        [au, bu, av, bv, at, bts, jminf, jmaxf, delta_w], axis=-1
+    ).astype(jnp.float32)
+    pad = jnp.zeros((*origins.shape[:2], L_Y0 - 9), jnp.float32)
+    return jnp.concatenate([head, pad, ytile.astype(jnp.float32)], axis=-1)
 
 
 # -------------------------------------------------------------------- tables
+
+
+# slab-subrange candidates per group for overflow splitting (GS = 4): a group whose
+# footprint exceeds the patch is split front-to-back into halves, and a half that
+# still exceeds it into single slabs. Candidate order is strictly front-to-back for
+# every legal emission combination.
+_SUB_RANGES = ((0, 3), (0, 1), (2, 3), (0, 0), (1, 1), (2, 2), (3, 3))
+_SUB_ORDER = (0, 1, 4, 2, 3, 5, 6)  # emission-order key offset of each candidate
+# lattice of rays sampled per tile when bounding the footprint (span extremes of the
+# quasi-affine u(j; px, py) over a tile sit near the boundary; interior points guard
+# the tiny curvature, and _SPAN_MARGIN absorbs the residual)
+_SPAN_MARGIN = 0.25
+
+
+def _lattice_indices(tile_px: int):
+    q = [0, tile_px // 3, (2 * tile_px) // 3, tile_px - 1]
+    return jnp.asarray(
+        [r * tile_px + c for r in q for c in q], dtype=jnp.int32
+    )
 
 
 def build_tables(
     rays_feat: jnp.ndarray,  # [T, R, RAY_LANES]
     occ_dil: jnp.ndarray,  # [XG, U8, V8] dilated occupancy mip
     statics: BrickedStatics,
+    exact_spans: bool = False,  # bound footprints with ALL rays (tests) vs lattice
 ):
-    """Per-tile compacted front-to-back traversal tables.
+    """Per-tile compacted front-to-back traversal tables with overflow splitting.
 
-    Returns (tables [T, G, 4] int32 = (group, u0, v0, 0), counts [T, 1] int32,
-    overflow bool — True when some tile's ray footprint exceeded the patch size,
-    which would drop taps; callers should fail loudly or fall back).
+    Returns (tables [T, 4 * G, 4] int32 = (group, u0, v0, jlo * 256 + jhi),
+    counts [T, 1] int32, overflow bool — True only when even a SINGLE slab's
+    footprint exceeds the patch, i.e. the pose needs smaller tiles).
     """
     (u_ax, v_ax, _num_slabs, num_groups, u_real, v_real, u_pad, v_pad, _scales
      ) = _slab_geometry(statics)
 
-    au = rays_feat[..., L_AU][..., None]  # [T, R, 1]
-    bu = rays_feat[..., L_BU][..., None]
-    av = rays_feat[..., L_AV][..., None]
-    bv = rays_feat[..., L_BV][..., None]
-    jminf = rays_feat[..., L_JMIN][..., None]
-    jmaxf = rays_feat[..., L_JMAX][..., None]
+    if exact_spans:
+        sel = rays_feat
+    else:
+        sel = rays_feat[:, _lattice_indices(statics.tile_px), :]
 
-    g_iota = jnp.arange(num_groups, dtype=jnp.float32)[None, None, :]  # [1, 1, G]
-    glo = g_iota * GS
-    ghi = glo + (GS - 1)
-    live = (jminf <= ghi) & (jmaxf >= glo) & (jminf <= jmaxf)  # [T, R, G]
+    au = sel[..., L_AU][..., None, None]  # [T, B, 1, 1]
+    bu = sel[..., L_BU][..., None, None]
+    av = sel[..., L_AV][..., None, None]
+    bv = sel[..., L_BV][..., None, None]
+    jminf = sel[..., L_JMIN][..., None, None]
+    jmaxf = sel[..., L_JMAX][..., None, None]
+
+    g_iota = jnp.arange(num_groups, dtype=jnp.float32)[None, None, :, None]
+    sub = jnp.asarray(_SUB_RANGES, dtype=jnp.float32)  # [C, 2]
+    glo = g_iota * GS + sub[None, None, None, :, 0]  # [1, 1, G, C]
+    ghi = g_iota * GS + sub[None, None, None, :, 1]
+    live = (jminf <= ghi) & (jmaxf >= glo) & (jminf <= jmaxf)  # [T, B, G, C]
 
     j_a = jnp.clip(glo, jminf, jmaxf)
     j_b = jnp.clip(ghi, jminf, jmaxf)
@@ -359,58 +391,93 @@ def build_tables(
     def span(a0, b0):
         ea = a0 + b0 * j_a
         eb = a0 + b0 * j_b
-        lo_r = jnp.minimum(ea, eb)
-        hi_r = jnp.maximum(ea, eb)
-        lo_t = jnp.min(jnp.where(live, lo_r, big), axis=1)  # [T, G]
-        hi_t = jnp.max(jnp.where(live, hi_r, -big), axis=1)
-        return lo_t, hi_t
+        lo_t = jnp.min(jnp.where(live, jnp.minimum(ea, eb), big), axis=1)
+        hi_t = jnp.max(jnp.where(live, jnp.maximum(ea, eb), -big), axis=1)
+        return lo_t - _SPAN_MARGIN, hi_t + _SPAN_MARGIN  # [T, G, C]
 
     ulo, uhi = span(au, bu)
     vlo, vhi = span(av, bv)
-    any_live = jnp.any(live, axis=1)  # [T, G]
+    any_live = jnp.any(live, axis=1)  # [T, G, C]
 
     u0 = jnp.clip(jnp.floor(ulo), 0.0, float(u_pad - PU)).astype(jnp.int32)
     v0 = (jnp.clip(jnp.floor(vlo), 0.0, float(v_pad - PV)).astype(jnp.int32) // 8) * 8
     u0 = jnp.where(any_live, u0, 0)
     v0 = jnp.where(any_live, v0, 0)
 
-    # coverage check: every needed REAL vertex tap must fall inside the patch
+    # coverage: every needed REAL vertex tap must fall inside the patch
     need_hi_u = jnp.minimum(jnp.floor(uhi) + 1.0, float(u_real - 1))
     need_hi_v = jnp.minimum(jnp.floor(vhi) + 1.0, float(v_real - 1))
-    overflow = jnp.any(
-        any_live
-        & (
-            (need_hi_u > u0.astype(jnp.float32) + (PU - 1))
-            | (need_hi_v > v0.astype(jnp.float32) + (PV - 1))
-        )
-    )
+    fits = (
+        (need_hi_u <= u0.astype(jnp.float32) + (PU - 1))
+        & (need_hi_v <= v0.astype(jnp.float32) + (PV - 1))
+    )  # [T, G, C]
 
     occ_val = occ_dil[
-        jnp.arange(num_groups)[None, :], u0 // 8, v0 // 8
-    ]  # [T, G]
-    active = any_live & (occ_val > statics.occ_sigma_thresh)
+        jnp.arange(num_groups)[None, :, None], u0 // 8, v0 // 8
+    ]  # [T, G, C]
+    occupied = occ_val > statics.occ_sigma_thresh
 
-    g_idx = jnp.arange(num_groups, dtype=jnp.int32)[None, :]
-    sort_key = jnp.where(active, g_idx, 2 * num_groups)
-    order = jnp.argsort(sort_key, axis=-1)  # stable: active groups first, in order
+    f_full, f_h0, f_h1 = fits[..., 0], fits[..., 1], fits[..., 2]
+    # selection: full if it fits; else per half: the half if it fits, else its slabs
+    use = jnp.stack(
+        [
+            f_full,
+            ~f_full & f_h0,
+            ~f_full & f_h1,
+            ~f_full & ~f_h0,
+            ~f_full & ~f_h0,
+            ~f_full & ~f_h1,
+            ~f_full & ~f_h1,
+        ],
+        axis=-1,
+    )
+    active = use & any_live & occupied  # [T, G, C]
+    # overflow only when an emitted SINGLE slab still exceeds the patch
+    overflow = jnp.any(active[..., 3:] & ~fits[..., 3:])
+
+    num_tiles = active.shape[0]
+    cand = num_groups * len(_SUB_RANGES)
+    order_off = jnp.asarray(_SUB_ORDER, dtype=jnp.int32)[None, None, :]
+    key = jnp.where(
+        active,
+        jnp.arange(num_groups, dtype=jnp.int32)[None, :, None] * 8 + order_off,
+        8 * num_groups + 7,
+    ).reshape(num_tiles, cand)
+    order = jnp.argsort(key, axis=-1)[:, : 4 * num_groups]
+
+    g_col = jnp.broadcast_to(
+        jnp.arange(num_groups, dtype=jnp.int32)[None, :, None], active.shape
+    ).reshape(num_tiles, cand)
+    jpack = (
+        jnp.asarray([lo * 256 + hi for (lo, hi) in _SUB_RANGES], dtype=jnp.int32)[
+            None, None, :
+        ]
+        * jnp.ones((1, num_groups, 1), jnp.int32)
+    ).reshape(1, cand)
+    jpack = jnp.broadcast_to(jpack, (num_tiles, cand))
+
+    def pick(x):
+        return jnp.take_along_axis(x.reshape(num_tiles, cand), order, axis=-1)
+
     tables = jnp.stack(
         [
-            jnp.take_along_axis(jnp.broadcast_to(g_idx, active.shape), order, axis=-1),
-            jnp.take_along_axis(u0, order, axis=-1),
-            jnp.take_along_axis(v0, order, axis=-1),
-            jnp.zeros_like(u0),
+            jnp.take_along_axis(g_col, order, axis=-1),
+            pick(u0),
+            pick(v0),
+            jnp.take_along_axis(jpack, order, axis=-1),
         ],
         axis=-1,
     ).astype(jnp.int32)
-    counts = jnp.sum(active, axis=-1, dtype=jnp.int32)[:, None]
+    counts = jnp.sum(active, axis=(1, 2), dtype=jnp.int32)[:, None]
     return tables, counts, overflow
 
 
 # -------------------------------------------------------------------- image renderer
 
 
-def _tile_image_rays(height_pad, width_pad, focal, height, width, rotation, translation):
-    """Cast rays for a padded image and regroup them into 16x16-pixel tiles.
+def _tile_image_rays(height_pad, width_pad, focal, height, width, rotation,
+                     translation, tile_px):
+    """Cast rays for a padded image and regroup them into square pixel tiles.
 
     Pixel centers / focal match rays.cast_rays for the REAL (height, width); the pad
     pixels are extra off-frame rays that get cropped after rendering.
@@ -425,23 +492,24 @@ def _tile_image_rays(height_pad, width_pad, focal, height, width, rotation, tran
     rays_d = jnp.einsum("ij,hwj->hwi", rotation, dirs_cam)
     rays_o = jnp.broadcast_to(translation.reshape(3), rays_d.shape)
 
-    th, tw = height_pad // TILE_PX, width_pad // TILE_PX
+    th, tw = height_pad // tile_px, width_pad // tile_px
 
     def tile(a):
         return (
-            a.reshape(th, TILE_PX, tw, TILE_PX, 3)
+            a.reshape(th, tile_px, tw, tile_px, 3)
             .transpose(0, 2, 1, 3, 4)
-            .reshape(th * tw, R, 3)
+            .reshape(th * tw, tile_px * tile_px, 3)
         )
 
     return tile(rays_o), tile(rays_d)
 
 
-def _untile(out: jnp.ndarray, height_pad: int, width_pad: int) -> jnp.ndarray:
-    th, tw = height_pad // TILE_PX, width_pad // TILE_PX
+def _untile(out: jnp.ndarray, height_pad: int, width_pad: int, tile_px: int
+            ) -> jnp.ndarray:
+    th, tw = height_pad // tile_px, width_pad // tile_px
     c = out.shape[-1]
     return (
-        out.reshape(th, tw, TILE_PX, TILE_PX, c)
+        out.reshape(th, tw, tile_px, tile_px, c)
         .transpose(0, 2, 1, 3, 4)
         .reshape(height_pad, width_pad, c)
     )
@@ -460,13 +528,17 @@ def _render_image_jit(
     rotation: jnp.ndarray,
     translation: jnp.ndarray,
 ):
-    height_pad = -(-height // TILE_PX) * TILE_PX
-    width_pad = -(-width // TILE_PX) * TILE_PX
+    tile_px = statics.tile_px
+    height_pad = -(-height // tile_px) * tile_px
+    width_pad = -(-width // tile_px) * tile_px
     rays_o, rays_d = _tile_image_rays(
-        height_pad, width_pad, focal, height, width, rotation, translation
+        height_pad, width_pad, focal, height, width, rotation, translation, tile_px
     )
     rays_feat = compute_ray_features(rays_o, rays_d, statics)
     tables, counts, overflow = build_tables(rays_feat, occ_dil, statics)
+    # async host warning — a blocking bool(overflow) would cost a full device
+    # round-trip per rendered image
+    jax.debug.callback(_warn_on_overflow, overflow)
     out = slab_march_render(
         tables,
         counts,
@@ -478,7 +550,7 @@ def _render_image_jit(
         with_diffuse=statics.with_diffuse,
         interpret=statics.interpret,
     )
-    img = _untile(out, height_pad, width_pad)[:height, :width]
+    img = _untile(out, height_pad, width_pad, tile_px)[:height, :width]
     colour = img[..., 0:3]
     acc = img[..., 3:4]
     depth = img[..., 4:5]
@@ -493,10 +565,23 @@ def _render_image_jit(
         if white_bkgd:
             diffuse = diffuse + (1.0 - acc)
         extra[EXTRA_DIFFUSE_COLOUR] = diffuse
-    return RenderOut(colour=colour, depth=depth, extra=extra), overflow
+    return RenderOut(colour=colour, depth=depth, extra=extra)
 
 
 _warned_overflow = False
+
+
+def _warn_on_overflow(overflow) -> None:
+    global _warned_overflow
+    if not _warned_overflow and bool(overflow):
+        _warned_overflow = True
+        log.warning(
+            "bricked renderer: even a single-slab entry's footprint exceeded the "
+            "%dx%d patch — some interpolation taps were dropped (extreme FOV or a "
+            "grid finer than the tile size supports). Set bricked_tile_px=8.",
+            PU,
+            PV,
+        )
 
 
 def render_image_bricked(
@@ -529,6 +614,7 @@ def render_image_bricked(
         exit_eps=config.bricked_exit_eps,
         occupancy_alpha_thresh=config.bricked_occupancy_alpha_thresh,
         with_diffuse=want_diffuse,
+        tile_px=getattr(config, "bricked_tile_px", 0),
         interpret=interpret,
     )
 
@@ -551,7 +637,7 @@ def render_image_bricked(
             )
     repacked, occ_dil = prepared
 
-    out, overflow = _render_image_jit(
+    return _render_image_jit(
         statics,
         int(camera_intrinsics.height),
         int(camera_intrinsics.width),
@@ -563,17 +649,6 @@ def render_image_bricked(
         jnp.asarray(rotation, jnp.float32),
         jnp.asarray(np.asarray(camera_pose.translation), jnp.float32).reshape(3),
     )
-    global _warned_overflow
-    if not _warned_overflow and bool(overflow):
-        _warned_overflow = True
-        log.warning(
-            "bricked renderer: a tile's ray footprint exceeded the %dx%d patch — "
-            "some interpolation taps were dropped (extreme FOV or grazing pose). "
-            "Use render_sh_voxel_grid_fast for this camera.",
-            PU,
-            PV,
-        )
-    return out
 
 
 class _BrickedProcedure:

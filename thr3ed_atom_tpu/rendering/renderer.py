@@ -69,6 +69,8 @@ class SHVoxGridRenderConfig:
     # skip (tile, slab-group) patches whose max per-sample alpha is below this
     # (0 disables empty-space skipping)
     bricked_occupancy_alpha_thresh: float = 1e-4
+    # pixel tile edge (8 or 16); 0 = auto from grid resolution
+    bricked_tile_px: int = 0
 
     def replace(self, **overrides) -> "SHVoxGridRenderConfig":
         return dataclasses.replace(self, **overrides)
