@@ -68,10 +68,13 @@ from thr3ed_atom_tpu.utils.misc import log_config_to_disk  # noqa: E402
 @click.option("--white_bkgd", type=click.BOOL, default=True,
               help="whether to use white background for synthetic scenes", show_default=True)
 @click.option("--render_procedure",
-              type=click.Choice(["render_sh_voxel_grid_fast", "render_sh_voxel_grid",
+              type=click.Choice(["render_sh_voxel_grid_bricked",
+                                 "render_sh_voxel_grid_fast", "render_sh_voxel_grid",
                                  "render_sh_voxel_grid_hierarchical"]),
-              default="render_sh_voxel_grid_fast", show_default=True,
-              help="fast = two-phase top-K over packed tables (float-precision parity); "
+              default="render_sh_voxel_grid_bricked", show_default=True,
+              help="bricked = fused slab-march Pallas kernel (tile-based training, "
+                   "whole-image renders, fastest); "
+                   "fast = two-phase top-K over packed tables (float-precision parity); "
                    "exact = reference-semantics gather path; hierarchical = coarse-to-fine "
                    "importance sampling (num_samples is the total budget)")
 @click.option("--fast_topk", type=click.INT, default=64, show_default=True,
@@ -186,9 +189,21 @@ def main(**config) -> None:
         **activations,
     )
 
+    render_procedure = config["render_procedure"]
+    if render_procedure == "render_sh_voxel_grid_bricked" and (
+        config["sh_degree"] > 2 or config["use_softplus_field"]
+    ):
+        # the slab-march kernel packs (features ++ density) into 32-lane slabs
+        # (SH degree <= 2) and supports identity/relu density postactivation
+        log.info(
+            "bricked renderer supports sh_degree <= 2 with relu/identity density "
+            "postactivation; falling back to render_sh_voxel_grid_fast"
+        )
+        render_procedure = "render_sh_voxel_grid_fast"
+
     vol_mod = VolumetricModel(
         thre3d_repr=voxel_grid,
-        render_procedure=config["render_procedure"],
+        render_procedure=render_procedure,
         render_config=SHVoxGridRenderConfig(
             num_samples_per_ray=config["train_num_samples_per_ray"],
             camera_bounds=train_dataset.camera_bounds,

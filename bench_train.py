@@ -1,0 +1,117 @@
+"""Training-throughput benchmark: rays/sec through ONE fused optimization step
+(tile sampling -> slab repack -> fused slab-march forward -> replay backward ->
+Adam) at the canonical 128^3 / 400x400 shapes.
+
+Counterpart of bench.py for the train side of BASELINE.md's "rays/sec/chip
+(train + render)" target; the reference's training logs its wall-clock via
+"TIME CHECK" (thre3d_atom/modules/trainers.py:222,402-404) without a checked-in
+harness, so this defines one. Round-1 reference point for this repo: ~21K rays/s
+(scatter-bound XLA backward, DESIGN_NOTES.md).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "rays/sec", "vs_baseline": N}
+vs_baseline is value / 50e6 (same driver target as bench.py).
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+
+GRID_SIZE = 128
+IMAGE_SIZE = 400
+RAY_BATCH = 32768
+TARGET_RAYS_PER_SEC = 50e6
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from make_synthetic_dataset import make_blob_scene
+    from thr3ed_atom_tpu.modules.bricked_trainer import (
+        bricked_train_step,
+        make_bricked_train_statics,
+    )
+    from thr3ed_atom_tpu.rendering.bricked import dominant_axis_for_pose
+    from thr3ed_atom_tpu.utils.camera import pose_spherical
+
+    scene = make_blob_scene(grid_size=GRID_SIZE, seed=3)
+    rng = np.random.default_rng(0)
+    poses_np = np.stack(
+        [
+            np.hstack([p.rotation, p.translation])
+            for p in (
+                pose_spherical(rng.uniform(0, 360), rng.uniform(-90, 0), 4.0)
+                for _ in range(8)
+            )
+        ]
+    ).astype(np.float32)
+    images = jnp.asarray(rng.random((8, IMAGE_SIZE, IMAGE_SIZE, 3), dtype=np.float32))
+    poses = jnp.asarray(poses_np)
+
+    tx = optax.adam(0.03)
+    grid = scene
+    opt_state = tx.init(grid)
+    key = jax.random.PRNGKey(0)
+
+    def statics_for(p):
+        axis, flip = dominant_axis_for_pose(poses_np[p][:, :3])
+        return make_bricked_train_statics(
+            scene,
+            axis,
+            flip,
+            image_height=IMAGE_SIZE,
+            image_width=IMAGE_SIZE,
+            focal=IMAGE_SIZE * 1.1,
+            ray_batch_size=RAY_BATCH,
+            white_bkgd=True,
+        )
+
+    def step(p, k):
+        nonlocal grid, opt_state
+        grid, opt_state, metrics = bricked_train_step(
+            statics_for(p), tx, grid, opt_state, images, poses, jnp.int32(p), k
+        )
+        return metrics
+
+    # compile/warm all march-axis variants, then warm to steady state
+    for p in range(8):
+        key, sub = jax.random.split(key)
+        metrics = step(p, sub)
+    float(metrics["total_loss"])
+    for _ in range(15):
+        key, sub = jax.random.split(key)
+        metrics = step(int(rng.integers(8)), sub)
+    float(metrics["total_loss"])
+
+    num_steps = 30
+    t0 = time.perf_counter()
+    for _ in range(num_steps):
+        key, sub = jax.random.split(key)
+        metrics = step(int(rng.integers(8)), sub)
+    float(metrics["total_loss"])  # pipelined: one sync at the end
+    dt = (time.perf_counter() - t0) / num_steps
+
+    rays_per_sec = RAY_BATCH / dt
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"train rays/sec/chip ({GRID_SIZE}^3 grid, {RAY_BATCH} "
+                    f"rays/step, fused slab-march fwd+bwd + Adam)"
+                ),
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/sec",
+                "vs_baseline": round(rays_per_sec / TARGET_RAYS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -355,6 +355,9 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
         grid = vol_mod.thre3d_repr
         opt_state = tx.init(grid)
 
+        use_bricked = (
+            vol_mod.render_procedure_name == "render_sh_voxel_grid_bricked"
+        )
         statics = TrainStepStatics(
             render_config=vol_mod.render_config,
             image_height=stage_intrinsics.height,
@@ -365,6 +368,17 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
             use_mesh=use_mesh,
             render_procedure=vol_mod.render_procedure_name,
         )
+        if use_bricked:
+            from thr3ed_atom_tpu.modules.bricked_trainer import (
+                bricked_train_step,
+                make_bricked_train_statics,
+            )
+            from thr3ed_atom_tpu.rendering.bricked import dominant_axis_for_pose
+
+            poses_np = np.asarray(stage_dataset.poses)
+            # the pose picked per step is a HOST decision so its march axis/flip
+            # are statics of the compiled step (at most 6 program variants)
+            pose_picker = np.random.default_rng(seed + stage)
 
         log.info(
             f"training stage: {stage}   voxel grid resolution: {grid.grid_dims} "
@@ -381,9 +395,36 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
         last_time = time.perf_counter()
         for stage_iteration in range(1, num_iterations_per_stage + 1):
             key, step_key = jax.random.split(key)
-            grid, opt_state, metrics = _train_step(
-                statics, tx, grid, opt_state, images, poses, step_key
-            )
+            if use_bricked:
+                pose_i = int(pose_picker.integers(len(poses_np)))
+                b_axis, b_flip = dominant_axis_for_pose(poses_np[pose_i][:, :3])
+                b_statics = make_bricked_train_statics(
+                    grid,
+                    b_axis,
+                    b_flip,
+                    image_height=stage_intrinsics.height,
+                    image_width=stage_intrinsics.width,
+                    focal=stage_intrinsics.focal,
+                    ray_batch_size=ray_batch_size,
+                    white_bkgd=vol_mod.render_config.white_bkgd,
+                    apply_diffuse_render_regularization=(
+                        apply_diffuse_render_regularization
+                    ),
+                    exit_eps=vol_mod.render_config.bricked_exit_eps,
+                    occupancy_alpha_thresh=(
+                        vol_mod.render_config.bricked_occupancy_alpha_thresh
+                    ),
+                    tile_px=vol_mod.render_config.bricked_tile_px,
+                    interpret=jax.default_backend() == "cpu",
+                )
+                grid, opt_state, metrics = bricked_train_step(
+                    b_statics, tx, grid, opt_state, images, poses,
+                    jnp.int32(pose_i), step_key,
+                )
+            else:
+                grid, opt_state, metrics = _train_step(
+                    statics, tx, grid, opt_state, images, poses, step_key
+                )
             steps_since_sync += 1
 
             global_step = (stage - 1) * num_iterations_per_stage + stage_iteration

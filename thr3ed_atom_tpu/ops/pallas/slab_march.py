@@ -434,15 +434,14 @@ def _make_backward_kernel(ncoeff: int, relu_sigma: bool, exit_eps: float,
                     d_ch = d_chy * ytile + dsig[:, None] * onehot_sigma
                     pre = b * LANES_PER_SLAB
                     post = LAN - (b + 1) * LANES_PER_SLAB
+                    parts = []  # Mosaic rejects zero-width operands
+                    if pre:
+                        parts.append(jnp.zeros((R, pre), jnp.float32))
+                    parts.append(d_ch)
+                    if post:
+                        parts.append(jnp.zeros((R, post), jnp.float32))
                     d_blocks.append(
-                        jnp.concatenate(
-                            [
-                                jnp.zeros((R, pre), jnp.float32),
-                                d_ch,
-                                jnp.zeros((R, post), jnp.float32),
-                            ],
-                            axis=1,
-                        )
+                        jnp.concatenate(parts, axis=1) if len(parts) > 1 else d_ch
                     )
                     T_cur = T_cur * (1.0 - alpha)
 

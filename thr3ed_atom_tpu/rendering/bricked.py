@@ -161,20 +161,22 @@ def dominant_axis_for_pose(rotation: np.ndarray) -> Tuple[int, bool]:
 # -------------------------------------------------------------------- grid repacking
 
 
-@partial(jax.jit, static_argnums=(1,))
-def prepare_bricked_grid(voxel_grid: VoxelGrid, statics: BrickedStatics):
-    """Repack the (pre-activated) grid into front-to-back slabs.
+def repack_slab_grid(
+    voxel_grid: VoxelGrid, statics: BrickedStatics, theta: jnp.ndarray | float = 0.5
+):
+    """Differentiable repack of the (pre-activated) grid into front-to-back slabs.
 
-    Returns:
-        repacked: [XG, U_pad, V_pad, GS*32] bf16 — lane block b holds slab
-            (g*GS + b)'s 32 channels (features ++ density ++ zero pad)
-        occ_dil:  [XG, U8, V8] f32 — 3x3-dilated occupancy mip of max density per
-            (group, 8x8 vertex block); a patch anchored at (u0, v0) is fully covered
-            by the mip cell (u0 // 8, v0 // 8)
+    ``theta`` in (0, 1) is the sample offset between adjacent vertex planes along
+    the march axis (0.5 = cell centers). The lerp (1-theta)*plane[j] +
+    theta*plane[j+1] IS the trilinear interpolant at physical position
+    j + theta (non-flipped) / (S - 1 - j) + (1 - theta) (flipped) — a per-step
+    random theta restores stratified sampling along the march axis for training.
+
+    Returns repacked [XG, U_pad, V_pad, GS*32] bf16 — lane block b holds slab
+    (g*GS + b)'s 32 channels (features ++ density ++ zero pad).
     """
     (u_ax, v_ax, num_slabs, num_groups, _u_real, _v_real, u_pad, v_pad, _scales
      ) = _slab_geometry(statics)
-    nf = 3 * statics.ncoeff
 
     pre_densities, pre_features = voxel_grid.activated_grids()
     unified = jnp.concatenate([pre_features, pre_densities], axis=-1)
@@ -185,7 +187,8 @@ def prepare_bricked_grid(voxel_grid: VoxelGrid, statics: BrickedStatics):
     arr = jnp.transpose(unified, order)  # [A, U, V, 32]
     if statics.flip:
         arr = arr[::-1]
-    slabs = 0.5 * (arr[:-1] + arr[1:])  # [S, U, V, 32] — trilinear at cell centers
+    theta = jnp.asarray(theta, jnp.float32)
+    slabs = (1.0 - theta) * arr[:-1] + theta * arr[1:]  # [S, U, V, 32]
 
     s_pad = num_groups * GS
     slabs = jnp.pad(
@@ -197,36 +200,60 @@ def prepare_bricked_grid(voxel_grid: VoxelGrid, statics: BrickedStatics):
             (0, 0),
         ),
     )
+    return (
+        slabs.reshape(num_groups, GS, u_pad, v_pad, LANES_PER_SLAB)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(num_groups, u_pad, v_pad, GS * LANES_PER_SLAB)
+        .astype(jnp.bfloat16)
+    )
 
-    # occupancy mip BEFORE the lane transpose: max density over (GS slabs, 8u, 8v)
-    u8, v8 = u_pad // 8, v_pad // 8
-    # u_pad is only guaranteed a multiple of 8 when >= PU; pad up for the mip
+
+def occupancy_mip(voxel_grid: VoxelGrid, statics: BrickedStatics) -> jnp.ndarray:
+    """3x3-dilated occupancy mip [XG, U8, V8]: max pre-activated density over each
+    (slab group, 8x8 vertex block), taken over VERTEX planes g*GS..g*GS+GS (one
+    plane of overlap) so it upper-bounds the slab densities for ANY theta. A patch
+    anchored at (u0, v0) is fully covered by the mip cell (u0 // 8, v0 // 8)."""
+    (u_ax, v_ax, num_slabs, num_groups, _u_real, _v_real, u_pad, v_pad, _scales
+     ) = _slab_geometry(statics)
+    pre_densities, _ = voxel_grid.activated_grids()
+    dens = jnp.transpose(pre_densities[..., 0], (statics.axis, u_ax, v_ax))
+    if statics.flip:
+        dens = dens[::-1]
     u8 = -(-u_pad // 8)
     v8 = -(-v_pad // 8)
-    occ_src = slabs[..., nf]
-    occ_src = jnp.pad(
-        occ_src, ((0, 0), (0, u8 * 8 - u_pad), (0, v8 * 8 - v_pad))
+    a_pad = num_groups * GS + 1
+    dens = jnp.pad(
+        dens,
+        (
+            (0, a_pad - dens.shape[0]),
+            (0, u8 * 8 - dens.shape[1]),
+            (0, v8 * 8 - dens.shape[2]),
+        ),
     )
-    occ = jnp.max(
-        occ_src.reshape(num_groups, GS, u8, 8, v8, 8), axis=(1, 3, 5)
-    )  # [XG, U8, V8]
+    # group g covers slabs [g*GS, g*GS+GS) -> vertex planes [g*GS, g*GS+GS]
+    main = jnp.max(
+        dens[:-1].reshape(num_groups, GS, u8, 8, v8, 8), axis=(1, 3, 5)
+    )
+    extra = jnp.max(
+        dens[GS::GS].reshape(num_groups, 1, u8, 8, v8, 8), axis=(1, 3, 5)
+    )
+    occ = jnp.maximum(main, extra)  # [XG, U8, V8]
     neg = jnp.full_like(occ, -jnp.inf)
     occ_p = jnp.concatenate([occ, neg[:, :2]], axis=1)
     occ_p = jnp.concatenate([occ_p, jnp.full_like(occ_p[:, :, :2], -jnp.inf)], axis=2)
-    occ_dil = jnp.max(
+    return jnp.max(
         jnp.stack(
             [occ_p[:, i:i + u8, j:j + v8] for i in range(3) for j in range(3)]
         ),
         axis=0,
     )
 
-    repacked = (
-        slabs.reshape(num_groups, GS, u_pad, v_pad, LANES_PER_SLAB)
-        .transpose(0, 2, 3, 1, 4)
-        .reshape(num_groups, u_pad, v_pad, GS * LANES_PER_SLAB)
-        .astype(jnp.bfloat16)
-    )
-    return repacked, occ_dil
+
+@partial(jax.jit, static_argnums=(1,))
+def prepare_bricked_grid(voxel_grid: VoxelGrid, statics: BrickedStatics):
+    """(repacked slab grid at theta=0.5, dilated occupancy mip) — the per-pose
+    precomputation of the inference render path."""
+    return repack_slab_grid(voxel_grid, statics), occupancy_mip(voxel_grid, statics)
 
 
 # -------------------------------------------------------------------- ray features
@@ -254,6 +281,7 @@ def compute_ray_features(
     origins: jnp.ndarray,  # [T, R, 3] world-space ray origins
     directions: jnp.ndarray,  # [T, R, 3] (not necessarily unit)
     statics: BrickedStatics,
+    theta: jnp.ndarray | float = 0.5,  # slab sample offset, matching the repack
 ) -> jnp.ndarray:  # [T, R, RAY_LANES] f32
     """Per-ray affine slab-march coefficients in repack space.
 
@@ -273,14 +301,18 @@ def compute_ray_features(
     d_a = directions[..., axis]
     d_a = jnp.where(jnp.abs(d_a) < 1e-12, 1e-12, d_a)
 
-    # physical slab k: world coord lo_a + (k + 1) / scale_a; s_k = s0 + k * ds
-    ds = 1.0 / (scales[axis] * d_a)
-    s0 = (lo[axis] + 1.0 / scales[axis] - o_a) / d_a
+    # repack slab j sits at continuous vertex coordinate t_a = j + theta
+    # (non-flipped) / (S - j - theta) (flipped); world w(t) = lo + (t + 0.5) / scale
+    theta = jnp.asarray(theta, jnp.float32)
+    inv_scale = 1.0 / scales[axis]
+    ds = inv_scale / d_a
     if statics.flip:
-        at = s0 + (num_slabs - 1) * ds
+        w0 = lo[axis] + (num_slabs - theta + 0.5) * inv_scale
+        at = (w0 - o_a) / d_a
         bts = -ds
     else:
-        at = s0
+        w0 = lo[axis] + (theta + 0.5) * inv_scale
+        at = (w0 - o_a) / d_a
         bts = ds
     # rays marching against the repack direction never produce valid samples
     forwardish = bts > 0.0
