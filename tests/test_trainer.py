@@ -305,3 +305,64 @@ def test_resume_from_checkpoint(tmp_path, synthetic_data):
     )
     assert trained.thre3d_repr.grid_dims == (GRID, GRID, GRID)
     assert (out_dir2 / "saved_models" / "model_final.npz").exists()
+
+
+def test_optimizer_state_checkpoint_roundtrip(tmp_path, synthetic_data):
+    """Adam moments + schedule count survive the npz round-trip exactly: one more
+    step from the restored state matches one more step from the live state."""
+    import optax
+
+    from thr3ed_atom_tpu.modules.trainer import (
+        load_optimizer_state,
+        save_optimizer_state,
+    )
+
+    images, poses, intrinsics = synthetic_data
+    grid, render_config = _fresh_model()
+    statics = TrainStepStatics(
+        render_config=render_config,
+        image_height=intrinsics.height,
+        image_width=intrinsics.width,
+        focal=intrinsics.focal,
+        ray_batch_size=512,
+        apply_diffuse_render_regularization=False,
+    )
+    tx = optax.adam(optax.exponential_decay(0.05, 100, 0.5, staircase=True))
+    key = jax.random.PRNGKey(9)
+    copy = lambda tree: jax.tree_util.tree_map(jnp.copy, tree)  # noqa: E731
+
+    opt_state = tx.init(grid)
+    grid_live = copy(grid)
+    for _ in range(20):
+        key, sub = jax.random.split(key)
+        grid_live, opt_state, _ = _train_step(
+            statics, tx, grid_live, opt_state, images, poses, sub
+        )
+
+    ckpt = tmp_path / "ckpt"
+    save_optimizer_state(ckpt, opt_state, stage=1, stage_iteration=20)
+    restored = load_optimizer_state(ckpt, tx.init(grid))
+    assert restored is not None
+    opt_restored, saved_stage, saved_iter = restored
+    assert (saved_stage, saved_iter) == (1, 20)
+
+    key, sub = jax.random.split(key)
+    g_a, _, m_a = _train_step(
+        statics, tx, copy(grid_live), copy(opt_state), images, poses, sub
+    )
+    g_b, _, m_b = _train_step(
+        statics, tx, copy(grid_live), opt_restored, images, poses, sub
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_a.densities), np.asarray(g_b.densities), atol=1e-7
+    )
+    assert float(m_a["total_loss"]) == pytest.approx(float(m_b["total_loss"]))
+
+    # incompatible template (different grid shape) is rejected, not mis-loaded
+    bigger = create_voxel_grid(
+        jax.random.PRNGKey(1),
+        grid_dims=(GRID * 2,) * 3,
+        num_features=3,
+        voxel_size=VoxelSize(*(3.0 / (GRID * 2),) * 3),
+    )
+    assert load_optimizer_state(ckpt, tx.init(bigger)) is None

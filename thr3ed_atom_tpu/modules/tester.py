@@ -1,9 +1,12 @@
-"""Heldout evaluation: full-image renders + PSNR (+ LPIPS when available).
+"""Heldout evaluation: full-image renders + PSNR + LPIPS.
 
-Parity: reference thre3d_atom/modules/testers.py:17-71. The reference computes LPIPS with
-the ``lpips`` pip package (VGG variant); that package and its pretrained weights are not
-available in every deployment (and this environment has no network egress), so LPIPS is
-computed when importable and skipped with a log line otherwise.
+Parity: reference thre3d_atom/modules/testers.py:17-71. The reference computes LPIPS
+with the ``lpips`` pip package (VGG variant); here LPIPS is a pure-JAX
+implementation (utils/lpips.py) so TEST_SET_LPIPS is ALWAYS computed: with official
+converted weights when THR3ED_LPIPS_WEIGHTS points at an npz from
+tools/convert_lpips_weights.py, otherwise with the documented seeded
+random-feature fallback (reported as ``lpips_rand_vgg`` in the logs so the two are
+never conflated).
 """
 from typing import Optional
 
@@ -13,20 +16,21 @@ from thr3ed_atom_tpu.data.dataset import PosedImagesDataset
 from thr3ed_atom_tpu.modules.volumetric_model import VolumetricModel
 from thr3ed_atom_tpu.utils.camera import CameraPose
 from thr3ed_atom_tpu.utils.logging import log
+from thr3ed_atom_tpu.utils.lpips import LPIPSMetric
 from thr3ed_atom_tpu.utils.metrics import mse2psnr
 
 TEST_SET_PSNR = "TEST_SET_PSNR"
 TEST_SET_LPIPS = "TEST_SET_LPIPS"
 
+_lpips_metric: Optional[LPIPSMetric] = None
 
-def _try_lpips():
-    try:
-        import lpips  # noqa: F401
-        import torch
 
-        return lpips.LPIPS(net="vgg"), torch
-    except Exception:
-        return None, None
+def _get_lpips() -> LPIPSMetric:
+    global _lpips_metric
+    if _lpips_metric is None:
+        _lpips_metric = LPIPSMetric()
+        log.info(f"LPIPS metric initialized: {_lpips_metric.name}")
+    return _lpips_metric
 
 
 def test_sh_vox_grid_vol_mod_with_posed_images(
@@ -39,7 +43,7 @@ def test_sh_vox_grid_vol_mod_with_posed_images(
     reference testers.py:30-37) and average PSNR / LPIPS."""
     log.info("Running heldout-set evaluation...")
     intrinsics = test_dataset.camera_intrinsics
-    lpips_computer, torch = _try_lpips()
+    lpips_metric = _get_lpips()
 
     psnrs, lpips_scores = [], []
     for index in range(len(test_dataset)):
@@ -54,22 +58,21 @@ def test_sh_vox_grid_vol_mod_with_posed_images(
         colour = np.asarray(rendered.colour)
         mse = float(np.mean((colour - image) ** 2))
         psnrs.append(mse2psnr(mse))
-
-        if lpips_computer is not None:
-            with torch.no_grad():
-                pred = torch.from_numpy(colour[None]).permute(0, 3, 1, 2) * 2 - 1
-                target = torch.from_numpy(image[None]).permute(0, 3, 1, 2) * 2 - 1
-                lpips_scores.append(float(lpips_computer(pred, target)))
-        log.info(f"test image {index}: psnr {psnrs[-1]:.3f}")
+        lpips_scores.append(lpips_metric(colour, np.asarray(image, np.float32)))
+        log.info(
+            f"test image {index}: psnr {psnrs[-1]:.3f} "
+            f"{lpips_metric.name} {lpips_scores[-1]:.4f}"
+        )
 
     mean_psnr = float(np.mean(psnrs))
-    results = {TEST_SET_PSNR: mean_psnr}
-    log.info(f"heldout PSNR: {mean_psnr:.3f}")
-    if lpips_scores:
-        results[TEST_SET_LPIPS] = float(np.mean(lpips_scores))
-        log.info(f"heldout LPIPS: {results[TEST_SET_LPIPS]:.4f}")
-    else:
-        log.info("LPIPS unavailable (lpips package/weights not present); skipping")
+    results = {
+        TEST_SET_PSNR: mean_psnr,
+        TEST_SET_LPIPS: float(np.mean(lpips_scores)),
+    }
+    log.info(
+        f"heldout PSNR: {mean_psnr:.3f}  "
+        f"heldout LPIPS ({lpips_metric.name}): {results[TEST_SET_LPIPS]:.4f}"
+    )
 
     if tensorboard_writer is not None:
         for name, value in results.items():

@@ -198,6 +198,47 @@ def _train_step(
     return grid, opt_state, metrics
 
 
+# --------------------------------------------------------------- optimizer checkpoints
+
+
+def _opt_state_path(model_path: Path) -> Path:
+    return Path(str(model_path) + "_opt.npz")
+
+
+def save_optimizer_state(model_path: Path, opt_state, stage: int,
+                         stage_iteration: int) -> None:
+    """Adam moments + schedule count alongside the model npz, so --resume_from is
+    trajectory-faithful (moments at lr=0.03 matter; a fresh Adam is not)."""
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    np.savez(
+        str(_opt_state_path(model_path)),
+        stage=np.int64(stage),
+        stage_iteration=np.int64(stage_iteration),
+        **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)},
+    )
+
+
+def load_optimizer_state(model_path: Path, template):
+    """(opt_state, stage, stage_iteration) from <model>_opt.npz, or None when the
+    file is absent or its leaves don't match the template's shapes."""
+    path = _opt_state_path(model_path)
+    if not path.exists():
+        return None
+    data = np.load(str(path))
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    restored = []
+    for i, leaf in enumerate(leaves):
+        name = f"leaf_{i}"
+        if name not in data or data[name].shape != jnp.shape(leaf):
+            return None
+        restored.append(jnp.asarray(data[name], jnp.asarray(leaf).dtype))
+    return (
+        jax.tree_util.tree_unflatten(treedef, restored),
+        int(data["stage"]),
+        int(data["stage_iteration"]),
+    )
+
+
 # ------------------------------------------------------------------------- procedure
 
 
@@ -266,15 +307,20 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
 
     key = jax.random.PRNGKey(seed)
     start_stage = 1
+    start_iteration = 1
+    resume_opt_source: Optional[Path] = None
     if resume_from is not None:
-        # resume: adopt the checkpointed grid and restart at the stage whose grid size
-        # matches (optimizer state restarts — checkpoints carry only the scene arrays,
-        # which is what dominates; the reference has no resume at all, SURVEY.md §5.3)
+        # resume: adopt the checkpointed grid AND (when the sibling _opt.npz exists)
+        # the optimizer state + exact (stage, iteration), making the resumed
+        # trajectory Adam-faithful; legacy checkpoints without it restart at the
+        # stage AFTER the one whose grid size matches (the reference has no resume
+        # at all, SURVEY.md §5.3)
         from thr3ed_atom_tpu.modules.volumetric_model import (
             create_volumetric_model_from_saved_model,
         )
 
-        loaded, _ = create_volumetric_model_from_saved_model(Path(resume_from))
+        resume_from = Path(resume_from)
+        loaded, _ = create_volumetric_model_from_saved_model(resume_from)
         vol_mod.thre3d_repr = loaded.thre3d_repr
         loaded_dims = loaded.thre3d_repr.grid_dims
         matches = [
@@ -284,8 +330,34 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
             f"checkpoint grid {loaded_dims} matches no stage of the plan "
             f"{stagewise_voxel_grid_sizes}"
         )
-        start_stage = matches[0] + 1
-        log.info(f"resuming from {resume_from} at stage {start_stage}")
+        if _opt_state_path(resume_from).exists():
+            saved = np.load(str(_opt_state_path(resume_from)))
+            saved_stage = int(saved["stage"])
+            saved_iter = int(saved["stage_iteration"])
+            if saved_iter < num_iterations_per_stage:
+                # mid-stage checkpoint: continue the same stage
+                start_stage = saved_stage
+                start_iteration = saved_iter + 1
+                resume_opt_source = resume_from
+            else:
+                # end-of-stage checkpoint: grow and start the next stage fresh
+                start_stage = saved_stage + 1
+                if saved_stage < num_stages:
+                    vol_mod.thre3d_repr = scale_voxel_grid_with_required_output_size(
+                        vol_mod.thre3d_repr,
+                        output_size=stagewise_voxel_grid_sizes[saved_stage],
+                    )
+        else:
+            start_stage = matches[0] + 1
+            if start_stage <= num_stages:
+                vol_mod.thre3d_repr = scale_voxel_grid_with_required_output_size(
+                    vol_mod.thre3d_repr,
+                    output_size=stagewise_voxel_grid_sizes[start_stage - 1],
+                )
+        log.info(
+            f"resuming from {resume_from} at stage {start_stage} "
+            f"iteration {start_iteration}"
+        )
     else:
         # downscale grid to the smallest stage size and re-init from uniform(-1, 1)
         key, key_d, key_f = jax.random.split(key, 3)
@@ -354,6 +426,13 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
         tx = optax.adam(learning_rate=schedule, b1=0.9, b2=0.999)
         grid = vol_mod.thre3d_repr
         opt_state = tx.init(grid)
+        if resume_opt_source is not None and stage == start_stage:
+            restored = load_optimizer_state(resume_opt_source, opt_state)
+            if restored is not None:
+                opt_state = restored[0]
+                log.info("restored optimizer state (Adam moments + schedule count)")
+            else:
+                log.info("optimizer checkpoint incompatible; starting a fresh Adam")
 
         use_bricked = (
             vol_mod.render_procedure_name == "render_sh_voxel_grid_bricked"
@@ -393,7 +472,10 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
         rays_meter = ThroughputMeter(window=8)
         steps_since_sync = 0
         last_time = time.perf_counter()
-        for stage_iteration in range(1, num_iterations_per_stage + 1):
+        stage_first_iteration = start_iteration if stage == start_stage else 1
+        for stage_iteration in range(
+            stage_first_iteration, num_iterations_per_stage + 1
+        ):
             key, step_key = jax.random.split(key)
             if use_bricked:
                 pose_i = int(pose_picker.integers(len(poses_np)))
@@ -482,10 +564,9 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
 
             if global_step % save_freq == 0 or is_edge:
                 vol_mod.thre3d_repr = grid
-                vol_mod.save(
-                    model_dir / f"model_stage_{stage}_iter_{global_step}",
-                    extra_info=extra_info,
-                )
+                ckpt_path = model_dir / f"model_stage_{stage}_iter_{global_step}"
+                vol_mod.save(ckpt_path, extra_info=extra_info)
+                save_optimizer_state(ckpt_path, opt_state, stage, stage_iteration)
 
             last_time = time.perf_counter()
 

@@ -56,11 +56,11 @@ from thr3ed_atom_tpu.ops.sh import C0, C1, C2
 from thr3ed_atom_tpu.rendering.interface import RenderOut
 from thr3ed_atom_tpu.utils.constants import (
     EXTRA_ACCUMULATED_WEIGHTS,
+    EXTRA_BRICKED_TAP_OVERFLOW,
     EXTRA_DIFFUSE_COLOUR,
     EXTRA_DISPARITY,
     ZERO_PLUS,
 )
-from thr3ed_atom_tpu.utils.logging import log
 
 
 class BrickedStatics(NamedTuple):
@@ -568,9 +568,6 @@ def _render_image_jit(
     )
     rays_feat = compute_ray_features(rays_o, rays_d, statics)
     tables, counts, overflow = build_tables(rays_feat, occ_dil, statics)
-    # async host warning — a blocking bool(overflow) would cost a full device
-    # round-trip per rendered image
-    jax.debug.callback(_warn_on_overflow, overflow)
     out = slab_march_render(
         tables,
         counts,
@@ -591,29 +588,22 @@ def _render_image_jit(
     disparity = 1.0 / jnp.maximum(
         ZERO_PLUS, depth / jnp.maximum(acc, ZERO_PLUS)
     )
-    extra = {EXTRA_DISPARITY: disparity, EXTRA_ACCUMULATED_WEIGHTS: acc}
+    # lazy diagnostic (device scalar, NO host sync — the tunnel round-trip is
+    # ~3-25 ms, and the axon PJRT plugin has no host-callback support): True when
+    # even a single-slab entry's footprint exceeded the PUxPV patch and taps were
+    # dropped — extreme FOV or a grid finer than the tile size supports; set
+    # bricked_tile_px=8 in that case
+    extra = {
+        EXTRA_DISPARITY: disparity,
+        EXTRA_ACCUMULATED_WEIGHTS: acc,
+        EXTRA_BRICKED_TAP_OVERFLOW: overflow,
+    }
     if want_diffuse:
         diffuse = img[..., 5:8]
         if white_bkgd:
             diffuse = diffuse + (1.0 - acc)
         extra[EXTRA_DIFFUSE_COLOUR] = diffuse
     return RenderOut(colour=colour, depth=depth, extra=extra)
-
-
-_warned_overflow = False
-
-
-def _warn_on_overflow(overflow) -> None:
-    global _warned_overflow
-    if not _warned_overflow and bool(overflow):
-        _warned_overflow = True
-        log.warning(
-            "bricked renderer: even a single-slab entry's footprint exceeded the "
-            "%dx%d patch — some interpolation taps were dropped (extreme FOV or a "
-            "grid finer than the tile size supports). Set bricked_tile_px=8.",
-            PU,
-            PV,
-        )
 
 
 def render_image_bricked(

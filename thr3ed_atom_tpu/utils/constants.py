@@ -25,6 +25,9 @@ EXTRA_POINT_OCCUPANCIES = "point_occupancies"
 EXTRA_POINT_DEPTHS = "point_depths"
 EXTRA_SAMPLE_INTERVALS = "deltas"
 EXTRA_DIFFUSE_COLOUR = "diffuse_colour"  # fused-diffuse render output (this framework only)
+# device-scalar diagnostic of the bricked renderer (this framework only): True when a
+# tile footprint exceeded the kernel patch and interpolation taps were dropped
+EXTRA_BRICKED_TAP_OVERFLOW = "bricked_tap_overflow"
 
 # keys used by checkpoints / saved-model info dicts
 EXTRA_INFO = "extra_info"
