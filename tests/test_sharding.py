@@ -129,3 +129,74 @@ def test_model_parallel_grid_sharding_matches_unsharded(tiny_problem):
     np.testing.assert_allclose(
         np.asarray(grid_a.features), np.asarray(grid_b.features), atol=1e-4
     )
+
+
+def test_bricked_mesh_step_matches_single_device():
+    """The (tiles x depth-segments) sharded bricked step must produce the same
+    updated grid as the single-device step given the same inputs: segment
+    compositing is associative and exact, and gradient psums assemble (not
+    duplicate) the per-segment cotangents."""
+    import numpy as np
+    import optax
+
+    from thr3ed_atom_tpu.models.voxels import VoxelSize, create_voxel_grid
+    from thr3ed_atom_tpu.modules.bricked_trainer import (
+        bricked_train_step,
+        bricked_train_step_mesh,
+        make_bricked_train_statics,
+    )
+    from thr3ed_atom_tpu.rendering.bricked import dominant_axis_for_pose
+    from thr3ed_atom_tpu.utils.camera import pose_spherical
+
+    GRID, IMG = 17, 48  # 16 slabs -> 4 groups -> model_parallel=2 x 2 groups each
+    grid = create_voxel_grid(
+        jax.random.PRNGKey(0),
+        grid_dims=(GRID, GRID, GRID),
+        num_features=3,
+        voxel_size=VoxelSize(*(3.0 / GRID,) * 3),
+        density_preactivation="identity",
+        density_postactivation="relu",
+        expected_density_scale=10.0,
+    )
+    rng = np.random.default_rng(0)
+    poses_np = np.stack(
+        [
+            np.hstack([p.rotation, p.translation])
+            for p in (pose_spherical(a, -30.0, 4.0) for a in (15.0, 200.0))
+        ]
+    ).astype(np.float32)
+    images = jnp.asarray(rng.random((2, IMG, IMG, 3), dtype=np.float32))
+    poses = jnp.asarray(poses_np)
+    axis, flip = dominant_axis_for_pose(poses_np[0][:, :3])
+    statics = make_bricked_train_statics(
+        grid, axis, flip, image_height=IMG, image_width=IMG, focal=IMG * 1.1,
+        ray_batch_size=8 * 256, white_bkgd=True, interpret=True,
+        # exit_eps must be 0 for exact single-vs-sharded parity: depth segments
+        # cannot early-exit independently
+        exit_eps=0.0,
+    )
+    # SGD, not Adam: Adam's first step is ~sign(g) * lr (scale-invariant), which
+    # would HIDE gradient-duplication bugs in the psum layout; with SGD the grid
+    # delta is exactly -lr * grad, so segment double-counting shows up as 2x.
+    tx = optax.sgd(0.1)
+    key = jax.random.PRNGKey(3)
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)  # noqa: E731
+
+    g_single, _, m_single = bricked_train_step(
+        statics, tx, copy(grid), tx.init(grid), images, poses, jnp.int32(0), key
+    )
+    g_mesh, _, m_mesh = bricked_train_step_mesh(
+        statics, tx, (4, 2), copy(grid), tx.init(grid), images, poses,
+        jnp.int32(0), key,
+    )
+    # segment-rebased ray features round differently at ~1e-4 cells through the
+    # bf16 tents; gradient-proportional deltas must agree well inside 2x
+    for a, b in ((g_mesh.densities, g_single.densities),
+                 (g_mesh.features, g_single.features)):
+        delta_mesh = np.asarray(a) - np.asarray(grid.densities if a is g_mesh.densities else grid.features)
+        delta_single = np.asarray(b) - np.asarray(grid.densities if a is g_mesh.densities else grid.features)
+        scale = np.abs(delta_single).max() + 1e-12
+        np.testing.assert_allclose(delta_mesh, delta_single, atol=0.02 * scale)
+    assert float(m_mesh["total_loss"]) == pytest.approx(
+        float(m_single["total_loss"]), rel=1e-3
+    )

@@ -455,9 +455,21 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
             from thr3ed_atom_tpu.rendering.bricked import dominant_axis_for_pose
 
             poses_np = np.asarray(stage_dataset.poses)
-            # the pose picked per step is a HOST decision so its march axis/flip
-            # are statics of the compiled step (at most 6 program variants)
+            # the march (axis, flip) variant is a HOST decision (a static of the
+            # compiled step; at most 6 program variants). The slab repack depends
+            # only on the variant — not the pose — so each step mixes tiles from
+            # EVERY training view sharing the variant (view-dependent SH terms
+            # need multi-view gradients within a step).
             pose_picker = np.random.default_rng(seed + stage)
+            variant_buckets = {}
+            for p_i in range(len(poses_np)):
+                v = dominant_axis_for_pose(poses_np[p_i][:, :3])
+                variant_buckets.setdefault(v, []).append(p_i)
+            bucket_variants = list(variant_buckets)
+            bucket_weights = np.array(
+                [len(variant_buckets[v]) for v in bucket_variants], np.float64
+            )
+            bucket_weights /= bucket_weights.sum()
 
         log.info(
             f"training stage: {stage}   voxel grid resolution: {grid.grid_dims} "
@@ -478,8 +490,10 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
         ):
             key, step_key = jax.random.split(key)
             if use_bricked:
-                pose_i = int(pose_picker.integers(len(poses_np)))
-                b_axis, b_flip = dominant_axis_for_pose(poses_np[pose_i][:, :3])
+                b_axis, b_flip = bucket_variants[
+                    int(pose_picker.choice(len(bucket_variants), p=bucket_weights))
+                ]
+                bucket = variant_buckets[(b_axis, b_flip)]
                 b_statics = make_bricked_train_statics(
                     grid,
                     b_axis,
@@ -493,15 +507,19 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                         apply_diffuse_render_regularization
                     ),
                     exit_eps=vol_mod.render_config.bricked_exit_eps,
-                    occupancy_alpha_thresh=(
-                        vol_mod.render_config.bricked_occupancy_alpha_thresh
-                    ),
+                    # occupancy skipping stays OFF in training (zero-gradient
+                    # absorbing state); the render config's threshold applies to
+                    # inference renders only
                     tile_px=vol_mod.render_config.bricked_tile_px,
                     interpret=jax.default_backend() == "cpu",
                 )
+                tile_pose_idx = jnp.asarray(
+                    pose_picker.choice(bucket, size=b_statics.num_tiles),
+                    jnp.int32,
+                )
                 grid, opt_state, metrics = bricked_train_step(
                     b_statics, tx, grid, opt_state, images, poses,
-                    jnp.int32(pose_i), step_key,
+                    tile_pose_idx, step_key,
                 )
             else:
                 grid, opt_state, metrics = _train_step(

@@ -95,6 +95,10 @@ def _make_forward_kernel(ncoeff: int, relu_sigma: bool, exit_eps: float,
     def kernel(tab_ref, rays_ref, grid_ref, out_ref):
         def body(patch, state, sem):
             count = tab_ref[0, 0, 0]
+            # tables hold GLOBAL group indices; goff rebases them onto the grid
+            # operand (a depth SEGMENT of the full repacked grid under sample
+            # parallelism; 0 on a single device)
+            goff = tab_ref[0, 0, 1]
             au = rays_ref[0, :, L_AU]
             bu = rays_ref[0, :, L_BU]
             av = rays_ref[0, :, L_AV]
@@ -119,7 +123,7 @@ def _make_forward_kernel(ncoeff: int, relu_sigma: bool, exit_eps: float,
             def get_dma(slot, i):
                 return pltpu.make_async_copy(
                     grid_ref.at[
-                        tab_ref[0, i + 1, 0],
+                        tab_ref[0, i + 1, 0] - goff,
                         pl.ds(tab_ref[0, i + 1, 1], PU),
                         pl.ds(pl.multiple_of(tab_ref[0, i + 1, 2], 8), PV),
                         :,
@@ -220,6 +224,19 @@ def _make_forward_kernel(ncoeff: int, relu_sigma: bool, exit_eps: float,
     return kernel
 
 
+def _tab_with_meta(tables, counts, group_offset):
+    """Row 0 per tile = (count, group_offset, 0, 0); rows 1.. = entries."""
+    num_tiles = tables.shape[0]
+    goff = jnp.broadcast_to(
+        jnp.asarray(group_offset, jnp.int32), (num_tiles, 1)
+    )
+    meta = jnp.concatenate(
+        [counts.astype(jnp.int32), goff, jnp.zeros((num_tiles, 2), jnp.int32)],
+        axis=1,
+    )[:, None, :]
+    return jnp.concatenate([meta, tables], axis=1)  # [T, G + 1, 4]
+
+
 @functools.partial(
     jax.jit, static_argnames=("ncoeff", "relu_sigma", "exit_eps", "with_diffuse",
                               "interpret")
@@ -234,6 +251,7 @@ def slab_march_render(
     relu_sigma: bool = False,  # density POST-activation: relu (True) or identity
     exit_eps: float = 1e-4,  # per-tile early-exit transmittance threshold
     with_diffuse: bool = False,  # also composite the degree-0 (diffuse) colour
+    group_offset=0,  # first group index of the grid operand (depth segments)
     interpret: bool = False,
 ) -> jnp.ndarray:  # [T, R, 8] f32: rgb, acc, depth, diffuse rgb
     num_tiles, num_groups, _ = tables.shape
@@ -246,8 +264,7 @@ def slab_march_render(
     kernel = _make_forward_kernel(
         ncoeff, relu_sigma, exit_eps, with_diffuse, rays_per_tile
     )
-    counts_row = jnp.pad(counts.astype(jnp.int32), ((0, 0), (0, 3)))[:, None, :]
-    tab_full = jnp.concatenate([counts_row, tables], axis=1)  # [T, G + 1, 4]
+    tab_full = _tab_with_meta(tables, counts, group_offset)
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -291,6 +308,7 @@ def _make_backward_kernel(ncoeff: int, relu_sigma: bool, exit_eps: float,
                dgrid_ref):
         def body(patch, gpatch, sem, gsem):
             count = tab_ref[0, 0, 0]
+            goff = tab_ref[0, 0, 1]
             au = rays_ref[0, :, L_AU]
             bu = rays_ref[0, :, L_BU]
             av = rays_ref[0, :, L_AV]
@@ -321,7 +339,7 @@ def _make_backward_kernel(ncoeff: int, relu_sigma: bool, exit_eps: float,
             def get_dma(slot, i):
                 return pltpu.make_async_copy(
                     grid_ref.at[
-                        tab_ref[0, i + 1, 0],
+                        tab_ref[0, i + 1, 0] - goff,
                         pl.ds(tab_ref[0, i + 1, 1], PU),
                         pl.ds(pl.multiple_of(tab_ref[0, i + 1, 2], 8), PV),
                         :,
@@ -455,7 +473,7 @@ def _make_backward_kernel(ncoeff: int, relu_sigma: bool, exit_eps: float,
                 )  # [ROWS, LAN]
 
                 # read-modify-write accumulation into the HBM cotangent
-                region = dgrid_ref.at[xg, pl.ds(u0, PU), pl.ds(v0, PV), :]
+                region = dgrid_ref.at[xg - goff, pl.ds(u0, PU), pl.ds(v0, PV), :]
                 rd = pltpu.make_async_copy(region, gpatch, gsem)
                 rd.start()
                 rd.wait()
@@ -486,24 +504,23 @@ def _make_backward_kernel(ncoeff: int, relu_sigma: bool, exit_eps: float,
     return kernel
 
 
-def _forward_impl(tables, counts, rays_feat, grid, ncoeff, relu_sigma, exit_eps,
-                  with_diffuse, interpret):
+def _forward_impl(tables, counts, rays_feat, grid, group_offset, ncoeff,
+                  relu_sigma, exit_eps, with_diffuse, interpret):
     return slab_march_render(
         tables, counts, rays_feat, grid,
         ncoeff=ncoeff, relu_sigma=relu_sigma, exit_eps=exit_eps,
-        with_diffuse=with_diffuse, interpret=interpret,
+        with_diffuse=with_diffuse, group_offset=group_offset, interpret=interpret,
     )
 
 
-def _backward_impl(tables, counts, rays_feat, grid, fwd_out, gout, ncoeff,
-                   relu_sigma, exit_eps, with_diffuse, interpret):
+def _backward_impl(tables, counts, rays_feat, grid, group_offset, fwd_out, gout,
+                   ncoeff, relu_sigma, exit_eps, with_diffuse, interpret):
     num_tiles, num_groups, _ = tables.shape
     rays_per_tile = rays_feat.shape[1]
     kernel = _make_backward_kernel(
         ncoeff, relu_sigma, exit_eps, with_diffuse, rays_per_tile
     )
-    counts_row = jnp.pad(counts.astype(jnp.int32), ((0, 0), (0, 3)))[:, None, :]
-    tab_full = jnp.concatenate([counts_row, tables], axis=1)
+    tab_full = _tab_with_meta(tables, counts, group_offset)
     dgrid_init = jnp.zeros(grid.shape, jnp.float32)
     return pl.pallas_call(
         kernel,
@@ -539,22 +556,22 @@ def _backward_impl(tables, counts, rays_feat, grid, fwd_out, gout, ncoeff,
 @functools.lru_cache(maxsize=None)
 def _make_differentiable(ncoeff, relu_sigma, exit_eps, with_diffuse, interpret):
     @jax.custom_vjp
-    def march(tables, counts, rays_feat, grid):
-        return _forward_impl(tables, counts, rays_feat, grid, ncoeff, relu_sigma,
-                             exit_eps, with_diffuse, interpret)
+    def march(tables, counts, rays_feat, grid, group_offset):
+        return _forward_impl(tables, counts, rays_feat, grid, group_offset,
+                             ncoeff, relu_sigma, exit_eps, with_diffuse, interpret)
 
-    def fwd(tables, counts, rays_feat, grid):
-        out = _forward_impl(tables, counts, rays_feat, grid, ncoeff, relu_sigma,
-                            exit_eps, with_diffuse, interpret)
-        return out, (tables, counts, rays_feat, grid, out)
+    def fwd(tables, counts, rays_feat, grid, group_offset):
+        out = _forward_impl(tables, counts, rays_feat, grid, group_offset,
+                            ncoeff, relu_sigma, exit_eps, with_diffuse, interpret)
+        return out, (tables, counts, rays_feat, grid, group_offset, out)
 
     def bwd(res, gout):
-        tables, counts, rays_feat, grid, out = res
+        tables, counts, rays_feat, grid, group_offset, out = res
         d_grid = _backward_impl(
-            tables, counts, rays_feat, grid, out, gout, ncoeff, relu_sigma,
-            exit_eps, with_diffuse, interpret,
+            tables, counts, rays_feat, grid, group_offset, out, gout, ncoeff,
+            relu_sigma, exit_eps, with_diffuse, interpret,
         ).astype(grid.dtype)
-        return None, None, None, d_grid
+        return None, None, None, d_grid, None
 
     march.defvjp(fwd, bwd)
     return march
@@ -562,13 +579,14 @@ def _make_differentiable(ncoeff, relu_sigma, exit_eps, with_diffuse, interpret):
 
 def slab_march(
     tables, counts, rays_feat, grid, *, ncoeff, relu_sigma=False, exit_eps=1e-4,
-    with_diffuse=False, interpret=False,
+    with_diffuse=False, group_offset=0, interpret=False,
 ):
     """Differentiable slab-march render: gradients flow to ``grid`` (the repacked
     bf16 slab grid) through a replay-based backward kernel; tables/counts/rays are
-    non-differentiable (sampling geometry)."""
+    non-differentiable (sampling geometry). ``group_offset`` rebases the tables'
+    global group indices onto a depth-segment grid operand (sample parallelism)."""
     fn = _make_differentiable(
         ncoeff, bool(relu_sigma), float(exit_eps), bool(with_diffuse),
         bool(interpret),
     )
-    return fn(tables, counts, rays_feat, grid)
+    return fn(tables, counts, rays_feat, grid, jnp.asarray(group_offset, jnp.int32))

@@ -384,18 +384,26 @@ def _lattice_indices(tile_px: int):
 
 def build_tables(
     rays_feat: jnp.ndarray,  # [T, R, RAY_LANES]
-    occ_dil: jnp.ndarray,  # [XG, U8, V8] dilated occupancy mip
+    occ_dil: jnp.ndarray,  # [G_range, U8, V8] dilated occupancy mip (local slice)
     statics: BrickedStatics,
     exact_spans: bool = False,  # bound footprints with ALL rays (tests) vs lattice
+    group_range=None,  # (g0, g1) restricts to a depth segment (sample parallelism)
 ):
     """Per-tile compacted front-to-back traversal tables with overflow splitting.
 
-    Returns (tables [T, 4 * G, 4] int32 = (group, u0, v0, jlo * 256 + jhi),
+    Returns (tables [T, 4 * G, 4] int32 = (GLOBAL group, u0, v0, jlo * 256 + jhi),
     counts [T, 1] int32, overflow bool — True only when even a SINGLE slab's
     footprint exceeds the patch, i.e. the pose needs smaller tiles).
     """
-    (u_ax, v_ax, _num_slabs, num_groups, u_real, v_real, u_pad, v_pad, _scales
+    (u_ax, v_ax, _num_slabs, total_groups, u_real, v_real, u_pad, v_pad, _scales
      ) = _slab_geometry(statics)
+    # the LOCAL group count must be static (it sets table shapes) so it comes
+    # from occ_dil's leading dim; the offset may be a tracer (axis_index under
+    # shard_map)
+    num_groups = occ_dil.shape[0]
+    g0 = 0 if group_range is None else group_range[0]
+    if group_range is None:
+        assert num_groups == total_groups, (occ_dil.shape, total_groups)
 
     if exact_spans:
         sel = rays_feat
@@ -409,7 +417,9 @@ def build_tables(
     jminf = sel[..., L_JMIN][..., None, None]
     jmaxf = sel[..., L_JMAX][..., None, None]
 
-    g_iota = jnp.arange(num_groups, dtype=jnp.float32)[None, None, :, None]
+    g_iota = (
+        g0 + jnp.arange(num_groups, dtype=jnp.float32)[None, None, :, None]
+    )  # GLOBAL group indices
     sub = jnp.asarray(_SUB_RANGES, dtype=jnp.float32)  # [C, 2]
     glo = g_iota * GS + sub[None, None, None, :, 0]  # [1, 1, G, C]
     ghi = g_iota * GS + sub[None, None, None, :, 1]
@@ -446,7 +456,7 @@ def build_tables(
 
     occ_val = occ_dil[
         jnp.arange(num_groups)[None, :, None], u0 // 8, v0 // 8
-    ]  # [T, G, C]
+    ]  # [T, G, C] — occ_dil is the LOCAL slice, indexed by local group
     occupied = occ_val > statics.occ_sigma_thresh
 
     f_full, f_h0, f_h1 = fits[..., 0], fits[..., 1], fits[..., 2]
@@ -478,7 +488,7 @@ def build_tables(
     order = jnp.argsort(key, axis=-1)[:, : 4 * num_groups]
 
     g_col = jnp.broadcast_to(
-        jnp.arange(num_groups, dtype=jnp.int32)[None, :, None], active.shape
+        g0 + jnp.arange(num_groups, dtype=jnp.int32)[None, :, None], active.shape
     ).reshape(num_tiles, cand)
     jpack = (
         jnp.asarray([lo * 256 + hi for (lo, hi) in _SUB_RANGES], dtype=jnp.int32)[
