@@ -79,15 +79,25 @@ def main() -> None:
         )
         return metrics
 
-    # compile/warm all march-axis variants, then warm to steady state
+    # compile/warm all march-axis variants, then repeat timed warm passes until the
+    # pass time stabilizes: the runtime serves a deoptimized executable until the
+    # per-variant async AOT compile lands, so a single warm pass is not enough
     for p in range(8):
         key, sub = jax.random.split(key)
         metrics = step(p, sub)
     float(metrics["total_loss"])
-    for _ in range(15):
-        key, sub = jax.random.split(key)
-        metrics = step(int(rng.integers(8)), sub)
-    float(metrics["total_loss"])
+    warm = float("inf")
+    for _ in range(8):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            key, sub = jax.random.split(key)
+            metrics = step(int(rng.integers(8)), sub)
+        float(metrics["total_loss"])
+        again = time.perf_counter() - t0
+        stable = again > 0.95 * warm
+        warm = again
+        if stable:
+            break
 
     num_steps = 30
     t0 = time.perf_counter()
