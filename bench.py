@@ -52,7 +52,7 @@ def main() -> None:
         pose_spherical,
     )
 
-    grid = make_blob_scene(grid_size=GRID_SIZE, seed=3)
+    grid = make_blob_scene(grid_size=GRID_SIZE, seed=3, converged=True)
     config = SHVoxGridRenderConfig(
         num_samples_per_ray=256,
         camera_bounds=CameraBounds(2.0, 6.0),
@@ -85,30 +85,30 @@ def main() -> None:
     # deoptimized programs (measured 142 ms/pose vs 37 ms warm)
     for pose in poses[:12]:
         render_once(pose)
-    start = time.perf_counter()
-    for pose in poses:
-        last = vol_mod.render(pose, intrinsics)
-    sync(last)
-    warm_pass = time.perf_counter() - start
-    # 2) repeat full passes until the pass time stabilizes (deferred AOT landed)
-    for _ in range(6):
+    # 2) repeat full passes until the BEST pass stops improving (two consecutive
+    # non-improving passes): two equally-slow deoptimized passes must not read as
+    # "stable" — the async AOT compile can take minutes to land
+    def one_pass():
         start = time.perf_counter()
+        last = None
         for pose in poses:
             last = vol_mod.render(pose, intrinsics)
         sync(last)
-        again = time.perf_counter() - start
-        stable = again > 0.95 * warm_pass
-        warm_pass = again
-        if stable:
-            break
+        return time.perf_counter() - start
 
-    # 3) timed run over all poses, pipelined: sync once at the end
-    start = time.perf_counter()
-    last = None
-    for pose in poses:
-        last = vol_mod.render(pose, intrinsics)
-    sync(last)
-    elapsed = time.perf_counter() - start
+    best = one_pass()
+    miss = 0
+    for _ in range(12):
+        t = one_pass()
+        if t < 0.95 * best:
+            best, miss = t, 0
+        else:
+            best, miss = min(best, t), miss + 1
+            if miss >= 2:
+                break
+
+    # 3) timed: best of 3 passes (steady-state throughput), pipelined within a pass
+    elapsed = min(one_pass() for _ in range(3))
 
     total_rays = NUM_POSES * IMAGE_SIZE * IMAGE_SIZE
     rays_per_sec = total_rays / elapsed

