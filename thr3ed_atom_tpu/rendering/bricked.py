@@ -249,12 +249,19 @@ def occupancy_mip(voxel_grid: VoxelGrid, statics: BrickedStatics) -> jnp.ndarray
         dens[GS::GS].reshape(num_groups, 1, u8, 8, v8, 8), axis=(1, 3, 5)
     )
     occ = jnp.maximum(main, extra)  # [XG, U8, V8]
-    neg = jnp.full_like(occ, -jnp.inf)
-    occ_p = jnp.concatenate([occ, neg[:, :2]], axis=1)
-    occ_p = jnp.concatenate([occ_p, jnp.full_like(occ_p[:, :, :2], -jnp.inf)], axis=2)
+    # forward dilation must cover the worst-case tap footprint from a patch anchor:
+    # u0 is unaligned so a PU=24 tap span can cross ceil(24/8)+1 = 4 blocks, and the
+    # 8-aligned v0 with PV=32 spans exactly 4 blocks — 3x3 would miss the last block
+    du = PU // 8 + 1
+    dv = PV // 8
+    neg = jnp.full_like(occ[:, : du - 1], -jnp.inf)
+    occ_p = jnp.concatenate([occ, neg], axis=1)
+    occ_p = jnp.concatenate(
+        [occ_p, jnp.full_like(occ_p[:, :, : dv - 1], -jnp.inf)], axis=2
+    )
     return jnp.max(
         jnp.stack(
-            [occ_p[:, i:i + u8, j:j + v8] for i in range(3) for j in range(3)]
+            [occ_p[:, i:i + u8, j:j + v8] for i in range(du) for j in range(dv)]
         ),
         axis=0,
     )

@@ -101,9 +101,12 @@ def make_blob_scene(
 @click.option("--image_size", type=int, default=128, show_default=True)
 @click.option("--grid_size", type=int, default=64, show_default=True)
 @click.option("--seed", type=int, default=3, show_default=True)
+@click.option("--gt_samples_per_ray", type=int, default=256, show_default=True,
+              help="samples/ray for rendering the GT images; high values (1024+) "
+                   "approach the continuum so no trainer's quadrature is favoured")
 @click.option("--render_procedure", type=click.Choice(["render_sh_voxel_grid", "render_sh_voxel_grid_fast"]),
               default="render_sh_voxel_grid_fast", show_default=True)
-def main(output_path, num_train, num_test, image_size, grid_size, seed, render_procedure):
+def main(output_path, num_train, num_test, image_size, grid_size, seed, gt_samples_per_ray, render_procedure):
     import imageio.v2 as imageio
 
     output_path = Path(output_path)
@@ -112,7 +115,7 @@ def main(output_path, num_train, num_test, image_size, grid_size, seed, render_p
     focal = image_size * 1.1
     intrinsics = CameraIntrinsics(image_size, image_size, focal)
     config = SHVoxGridRenderConfig(
-        num_samples_per_ray=256,
+        num_samples_per_ray=gt_samples_per_ray,
         camera_bounds=CameraBounds(NEAR, FAR),
         perturb_sampled_points=False,
         white_bkgd=True,
