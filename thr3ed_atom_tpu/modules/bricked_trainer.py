@@ -79,6 +79,7 @@ def make_bricked_train_statics(
     occupancy_alpha_thresh: float = 0.0,
     tile_px: int = 0,
     interpret: bool = False,
+    axis_supersample: int = 1,
 ) -> BrickedTrainStatics:
     bricked = statics_for_grid(
         voxel_grid,
@@ -89,6 +90,7 @@ def make_bricked_train_statics(
         with_diffuse=apply_diffuse_render_regularization,
         tile_px=tile_px,
         interpret=interpret,
+        axis_supersample=axis_supersample,
     )
     rays_per_tile = bricked.tile_px**2
     num_tiles = max(1, ray_batch_size // rays_per_tile)

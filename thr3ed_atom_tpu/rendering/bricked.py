@@ -77,6 +77,10 @@ class BrickedStatics(NamedTuple):
     with_diffuse: bool
     tile_px: int  # pixel tile edge (rays per tile = tile_px^2)
     interpret: bool  # run the kernel in interpreter mode (CPU tests)
+    # K samples per cell along the march axis (quadrature refinement; must divide
+    # GS). K=1 samples cell centers; K>1 subdivides each crossing K ways, halving/
+    # quartering the compositing step so the integral approaches the continuum.
+    axis_supersample: int = 1
 
 
 def _uv_axes(axis: int) -> Tuple[int, int]:
@@ -89,7 +93,7 @@ def _slab_geometry(statics: BrickedStatics):
     """Static slab/patch geometry derived from the grid dims and the march axis."""
     dims, aabb, axis = statics.dims, statics.aabb, statics.axis
     u_ax, v_ax = _uv_axes(axis)
-    num_slabs = dims[axis] - 1
+    num_slabs = (dims[axis] - 1) * statics.axis_supersample  # SAMPLES along axis
     num_groups = -(-num_slabs // GS)
     u_real, v_real = dims[u_ax], dims[v_ax]
     u_pad = max(u_real, PU)
@@ -110,6 +114,7 @@ def statics_for_grid(
     with_diffuse: bool = False,
     tile_px: int = 0,
     interpret: bool = False,
+    axis_supersample: int = 1,
 ) -> BrickedStatics:
     num_features = voxel_grid.num_features
     assert num_features % 3 == 0, "SH feature count must be 3 * (degree + 1)^2"
@@ -126,7 +131,7 @@ def statics_for_grid(
     # convert the per-sample alpha threshold to a density threshold: delta per slab
     # crossing is cell_a * ||d|| / |d_a| in [cell_a, sqrt(3) * cell_a] for the
     # dominant axis, so alpha <= sigma * sqrt(3) * cell_a for small alpha
-    cell_a = (aabb[axis][1] - aabb[axis][0]) / dims[axis]
+    cell_a = (aabb[axis][1] - aabb[axis][0]) / dims[axis] / axis_supersample
     occ_sigma_thresh = occupancy_alpha_thresh / (cell_a * math.sqrt(3.0))
     if tile_px == 0:
         # a 16px tile's in-plane footprint (tile spread + GS-1 drift + 2 bilinear
@@ -147,6 +152,7 @@ def statics_for_grid(
         with_diffuse=bool(with_diffuse),
         tile_px=int(tile_px),
         interpret=bool(interpret),
+        axis_supersample=int(axis_supersample),
     )
 
 
@@ -188,15 +194,29 @@ def repack_slab_grid(
     # transposed f32 copy, and every later layout pass moves half the bytes
     # (measured 6.6 ms -> ~3 ms for a 128^3 repack)
     theta = jnp.asarray(theta, jnp.float32)
-    lo = jax.lax.slice_in_dim(unified, 0, num_slabs, axis=statics.axis)
-    hi = jax.lax.slice_in_dim(unified, 1, num_slabs + 1, axis=statics.axis)
-    if statics.flip:
-        # flipped march: slab j is between planes (S-1-j) and (S-j); sample sits at
-        # theta from the FAR plane, i.e. (1-theta) from the near one
-        slabs_native = theta * lo + (1.0 - theta) * hi
-        slabs_native = jnp.flip(slabs_native, axis=statics.axis)
+    ssaa = statics.axis_supersample
+    num_cells = num_slabs // ssaa
+    lo = jax.lax.slice_in_dim(unified, 0, num_cells, axis=statics.axis)
+    hi = jax.lax.slice_in_dim(unified, 1, num_cells + 1, axis=statics.axis)
+    # sample j' of the march sits at continuous vertex coordinate (j' + theta) / K
+    # (non-flipped) or (num_slabs - j' - theta) / K (flipped); within cell c the
+    # K sub-samples use fractions (k + theta) / K — flipped fractions mirror to
+    # (k + 1 - theta) / K so flipping the interleaved array lands on those
+    # positions exactly (K = 1 reduces to the single cell-center lerp)
+    subs = []
+    for k in range(ssaa):
+        frac = (k + (1.0 - theta if statics.flip else theta)) / ssaa
+        subs.append((1.0 - frac) * lo + frac * hi)
+    if ssaa == 1:
+        slabs_native = subs[0]
     else:
-        slabs_native = (1.0 - theta) * lo + theta * hi
+        slabs_native = jnp.stack(subs, axis=statics.axis + 1).reshape(
+            unified.shape[: statics.axis]
+            + (num_cells * ssaa,)
+            + unified.shape[statics.axis + 1 :]
+        )
+    if statics.flip:
+        slabs_native = jnp.flip(slabs_native, axis=statics.axis)
     slabs_native = slabs_native.astype(jnp.bfloat16)
 
     order = (statics.axis, u_ax, v_ax, 3)
@@ -220,19 +240,25 @@ def repack_slab_grid(
 
 
 def occupancy_mip(voxel_grid: VoxelGrid, statics: BrickedStatics) -> jnp.ndarray:
-    """3x3-dilated occupancy mip [XG, U8, V8]: max pre-activated density over each
-    (slab group, 8x8 vertex block), taken over VERTEX planes g*GS..g*GS+GS (one
-    plane of overlap) so it upper-bounds the slab densities for ANY theta. A patch
-    anchored at (u0, v0) is fully covered by the mip cell (u0 // 8, v0 // 8)."""
+    """Dilated occupancy mip [XG, U8, V8]: max pre-activated density over each
+    (slab group, 8x8 vertex block). Group g covers march samples [g*GS, g*GS+GS),
+    i.e. cells [g*GS_c, (g+1)*GS_c) with GS_c = GS / axis_supersample, so the max
+    is over vertex planes g*GS_c..(g+1)*GS_c (one plane of overlap) and
+    upper-bounds the sample densities for ANY theta. A patch anchored at (u0, v0)
+    is fully covered by the mip cell (u0 // 8, v0 // 8)."""
     (u_ax, v_ax, num_slabs, num_groups, _u_real, _v_real, u_pad, v_pad, _scales
      ) = _slab_geometry(statics)
+    gs_c = GS // statics.axis_supersample
+    assert gs_c * statics.axis_supersample == GS, (
+        f"axis_supersample must divide GS={GS}, got {statics.axis_supersample}"
+    )
     pre_densities, _ = voxel_grid.activated_grids()
     dens = jnp.transpose(pre_densities[..., 0], (statics.axis, u_ax, v_ax))
     if statics.flip:
         dens = dens[::-1]
     u8 = -(-u_pad // 8)
     v8 = -(-v_pad // 8)
-    a_pad = num_groups * GS + 1
+    a_pad = num_groups * gs_c + 1
     dens = jnp.pad(
         dens,
         (
@@ -241,12 +267,12 @@ def occupancy_mip(voxel_grid: VoxelGrid, statics: BrickedStatics) -> jnp.ndarray
             (0, v8 * 8 - dens.shape[2]),
         ),
     )
-    # group g covers slabs [g*GS, g*GS+GS) -> vertex planes [g*GS, g*GS+GS]
+    # group g covers cells [g*GS_c, (g+1)*GS_c) -> vertex planes [g*GS_c, (g+1)*GS_c]
     main = jnp.max(
-        dens[:-1].reshape(num_groups, GS, u8, 8, v8, 8), axis=(1, 3, 5)
+        dens[:-1].reshape(num_groups, gs_c, u8, 8, v8, 8), axis=(1, 3, 5)
     )
     extra = jnp.max(
-        dens[GS::GS].reshape(num_groups, 1, u8, 8, v8, 8), axis=(1, 3, 5)
+        dens[gs_c::gs_c].reshape(num_groups, 1, u8, 8, v8, 8), axis=(1, 3, 5)
     )
     occ = jnp.maximum(main, extra)  # [XG, U8, V8]
     # forward dilation must cover the worst-case tap footprint from a patch anchor:
@@ -319,17 +345,20 @@ def compute_ray_features(
     d_a = directions[..., axis]
     d_a = jnp.where(jnp.abs(d_a) < 1e-12, 1e-12, d_a)
 
-    # repack slab j sits at continuous vertex coordinate t_a = j + theta
-    # (non-flipped) / (S - j - theta) (flipped); world w(t) = lo + (t + 0.5) / scale
+    # repack sample j sits at continuous vertex coordinate (j + theta) / K
+    # (non-flipped) / (num_slabs - j - theta) / K (flipped), K = axis_supersample;
+    # world w(t) = lo + (t + 0.5) / scale
     theta = jnp.asarray(theta, jnp.float32)
+    ssaa = statics.axis_supersample
     inv_scale = 1.0 / scales[axis]
-    ds = inv_scale / d_a
+    step = inv_scale / ssaa  # world step along `axis` per march sample
+    ds = step / d_a
     if statics.flip:
-        w0 = lo[axis] + (num_slabs - theta + 0.5) * inv_scale
+        w0 = lo[axis] + ((num_slabs - theta) / ssaa + 0.5) * inv_scale
         at = (w0 - o_a) / d_a
         bts = -ds
     else:
-        w0 = lo[axis] + (theta + 0.5) * inv_scale
+        w0 = lo[axis] + (theta / ssaa + 0.5) * inv_scale
         at = (w0 - o_a) / d_a
         bts = ds
     # rays marching against the repack direction never produce valid samples
@@ -666,11 +695,12 @@ def render_image_bricked(
         with_diffuse=want_diffuse,
         tile_px=getattr(config, "bricked_tile_px", 0),
         interpret=interpret,
+        axis_supersample=getattr(config, "bricked_axis_supersample", 1),
     )
 
     prepared = None
     if cache is not None:
-        entry = cache.get((axis, flip, statics.occ_sigma_thresh))
+        entry = cache.get((axis, flip, statics.occ_sigma_thresh, statics.axis_supersample))
         if (
             entry is not None
             and entry[0] is voxel_grid.densities
@@ -680,7 +710,7 @@ def render_image_bricked(
     if prepared is None:
         prepared = prepare_bricked_grid(voxel_grid, statics)
         if cache is not None:
-            cache[(axis, flip, statics.occ_sigma_thresh)] = (
+            cache[(axis, flip, statics.occ_sigma_thresh, statics.axis_supersample)] = (
                 voxel_grid.densities,
                 voxel_grid.features,
                 prepared,

@@ -71,6 +71,10 @@ class SHVoxGridRenderConfig:
     bricked_occupancy_alpha_thresh: float = 1e-4
     # pixel tile edge (8 or 16); 0 = auto from grid resolution
     bricked_tile_px: int = 0
+    # K march samples per cell along the dominant axis (quadrature refinement:
+    # K=2/4 subdivides each slab crossing, approaching the continuum integral at
+    # linearly higher kernel cost; must divide the kernel group size GS=4)
+    bricked_axis_supersample: int = 1
 
     def replace(self, **overrides) -> "SHVoxGridRenderConfig":
         return dataclasses.replace(self, **overrides)
