@@ -24,6 +24,7 @@ from thr3ed_atom_tpu.rendering.rays import (
 name = sys.argv[1]
 tile_px = int(sys.argv[2]) if len(sys.argv) > 2 else 0
 exit_eps = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-4
+ssaa = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
 import os
 data = Path(os.environ.get("DS", "/tmp/parity_ds"))
@@ -59,6 +60,7 @@ config = SHVoxGridRenderConfig(
     white_bkgd=True,
     bricked_tile_px=tile_px,
     bricked_exit_eps=exit_eps,
+    bricked_axis_supersample=ssaa,
 )
 vol_mod = VolumetricModel(
     grid, render_procedure="render_sh_voxel_grid_bricked", render_config=config

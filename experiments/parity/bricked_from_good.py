@@ -29,6 +29,8 @@ from thr3ed_atom_tpu.rendering.bricked import dominant_axis_for_pose
 
 TILE_PX = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 EXIT_EPS = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-4
+LR = float(sys.argv[3]) if len(sys.argv) > 3 else 0.03
+SSAA = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
 data = Path("/tmp/parity_ds2")
 train_dataset = PosedImagesDataset(
@@ -62,7 +64,7 @@ weights = np.array([len(variant_buckets[v]) for v in bucket_variants], np.float6
 weights /= weights.sum()
 
 # final-stage LR of the parity recipe (lr schedule barely decays over 500 iters)
-tx = optax.adam(0.03)
+tx = optax.adam(LR)
 opt_state = tx.init(grid)
 picker = np.random.default_rng(7)
 key = jax.random.PRNGKey(7)
@@ -85,6 +87,7 @@ for it in range(1, 501):
     statics = make_bricked_train_statics(
         grid, v[0], v[1], image_height=h, image_width=w, focal=focal,
         ray_batch_size=2048, white_bkgd=True, exit_eps=EXIT_EPS, tile_px=TILE_PX,
+        axis_supersample=SSAA,
     )
     tile_pose_idx = jnp.asarray(picker.choice(bucket, size=statics.num_tiles),
                                 jnp.int32)

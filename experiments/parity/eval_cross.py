@@ -24,7 +24,8 @@ from thr3ed_atom_tpu.modules.volumetric_model import (
 )
 
 ckpt = Path(sys.argv[1])
-data = Path("/tmp/parity_ds")
+import os
+data = Path(os.environ.get("DS", "/tmp/parity_ds"))
 test_dataset = PosedImagesDataset(
     images_dir=data / "test",
     camera_params_json=data / "test_camera_params.json",

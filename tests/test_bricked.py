@@ -134,6 +134,10 @@ def _config(**kw):
         bricked_occupancy_alpha_thresh=0.0,
         bricked_exit_eps=0.0,
         white_bkgd=False,
+        # the oracle in this file samples at K=1 slab crossings; the production
+        # default K=2 samples different positions by design (see the
+        # axis-supersample convergence test)
+        bricked_axis_supersample=1,
     )
     defaults.update(kw)
     return SHVoxGridRenderConfig(**defaults)

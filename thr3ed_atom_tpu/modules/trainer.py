@@ -512,6 +512,9 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                     # inference renders only
                     tile_px=vol_mod.render_config.bricked_tile_px,
                     interpret=jax.default_backend() == "cpu",
+                    axis_supersample=(
+                        vol_mod.render_config.bricked_axis_supersample
+                    ),
                 )
                 tile_pose_idx = jnp.asarray(
                     pose_picker.choice(bucket, size=b_statics.num_tiles),

@@ -72,9 +72,14 @@ class SHVoxGridRenderConfig:
     # pixel tile edge (8 or 16); 0 = auto from grid resolution
     bricked_tile_px: int = 0
     # K march samples per cell along the dominant axis (quadrature refinement:
-    # K=2/4 subdivides each slab crossing, approaching the continuum integral at
-    # linearly higher kernel cost; must divide the kernel group size GS=4)
-    bricked_axis_supersample: int = 1
+    # K subdivides each slab crossing, approaching the continuum integral at
+    # linearly higher kernel cost; must divide the kernel group size GS=4).
+    # Default 2 matches the reference harness's sampling density (256 uniform
+    # samples across a 128-cell traversal) and stabilizes bricked TRAINING -
+    # K=1's theta-jittered quadrature variance acts as gradient noise that
+    # degrades quality at the recipe's 0.03 learning rate (PARITY_RUN.md).
+    # K=1 is the maximum-throughput render mode.
+    bricked_axis_supersample: int = 2
 
     def replace(self, **overrides) -> "SHVoxGridRenderConfig":
         return dataclasses.replace(self, **overrides)
