@@ -51,8 +51,9 @@ def main():
         return [np.asarray(vm.render(p, intr).colour) for p in poses]
 
     t0 = time.time()
-    exact_512 = render("render_sh_voxel_grid", 512)
-    exact_1024 = render("render_sh_voxel_grid", 1024)
+    # small chunks: 32768 rays x 1024 samples x 28ch of f32 temps would exceed HBM
+    exact_512 = render("render_sh_voxel_grid", 512, parallel_rays_chunk_size=8192)
+    exact_1024 = render("render_sh_voxel_grid", 1024, parallel_rays_chunk_size=4096)
     print(f"exact renders done in {time.time()-t0:.0f}s")
 
     for k in (32, 64):

@@ -335,3 +335,38 @@ def test_bricked_axis_supersample_converges_to_exact(key):
     # monotonicity is asserted there
     assert errs[1] < 0.55 * errs[0], errs
     assert errs[2] < 0.85 * errs[1], errs
+
+
+def test_repack_jit_matches_eager_at_large_shape():
+    """The jitted repack must equal the op-by-op (eager) repack bit-for-bit.
+
+    Regression guard for an XLA:TPU miscompilation of the K-interleave: with the
+    interleave expressed as stack(axis+1)+reshape+flip+transpose in one jitted
+    graph, the TPU backend produced 667K wrong values at 128^3 / K=2 (eager was
+    exact; K=1/K=4 and all CPU shapes were unaffected). The repack now builds
+    the interleave from per-sub transposed arrays with a leading-dim merge; this
+    test pins jit == eager at the shape that miscompiled, on whatever backend
+    the suite runs on."""
+    from thr3ed_atom_tpu.rendering.bricked import (
+        prepare_bricked_grid,
+        repack_slab_grid,
+        statics_for_grid,
+    )
+
+    g = 128
+    rng = np.random.default_rng(5)
+    dens = rng.standard_normal((g, g, g, 1), dtype=np.float32)
+    feats = rng.standard_normal((g, g, g, 27), dtype=np.float32)
+    grid = VoxelGrid(
+        densities=jnp.asarray(dens),
+        features=jnp.asarray(feats),
+        voxel_size=VoxelSize(3.0 / g, 3.0 / g, 3.0 / g),
+        density_preactivation="identity",
+        density_postactivation="relu",
+    )
+    st = statics_for_grid(grid, 2, True, axis_supersample=2)
+    eager = np.asarray(repack_slab_grid(grid, st, 0.5).astype(jnp.float32))
+    jitted = np.asarray(prepare_bricked_grid(grid, st)[0].astype(jnp.float32))
+    # fusion may contract the lerp differently (1-ULP bf16 differences are fine);
+    # the miscompile this guards against produced |d| up to ~9 on 667K elements
+    np.testing.assert_allclose(jitted, eager, atol=0.05)

@@ -206,21 +206,26 @@ def repack_slab_grid(
     subs = []
     for k in range(ssaa):
         frac = (k + (1.0 - theta if statics.flip else theta)) / ssaa
-        subs.append((1.0 - frac) * lo + frac * hi)
+        sub = ((1.0 - frac) * lo + frac * hi).astype(jnp.bfloat16)
+        if statics.flip:
+            sub = jnp.flip(sub, axis=statics.axis)
+        subs.append(jnp.transpose(sub, (statics.axis, u_ax, v_ax, 3)))
     if ssaa == 1:
-        slabs_native = subs[0]
+        slabs = subs[0]  # [S, U, V, 32] bf16, slab-major
     else:
-        slabs_native = jnp.stack(subs, axis=statics.axis + 1).reshape(
-            unified.shape[: statics.axis]
-            + (num_cells * ssaa,)
-            + unified.shape[statics.axis + 1 :]
+        # interleave AFTER the per-sub transpose by stacking on a new axis right
+        # after the (now leading) slab axis and merging the two LEADING dims.
+        # (Interleaving before the transpose — stack at axis+1 + reshape + flip +
+        # transpose in one jitted graph — miscompiles on the TPU backend at some
+        # shapes: measured 667K wrong values at 128^3 K=2 while the same ops run
+        # eagerly are exact. Leading-dim merges are the safe pattern.)
+        # flipped interleave order: flipped[j'] = native[S_K-1-j'], i.e. cells
+        # reversed AND sub-samples reversed within each cell
+        if statics.flip:
+            subs = subs[::-1]
+        slabs = jnp.stack(subs, axis=1).reshape(
+            (num_cells * ssaa,) + subs[0].shape[1:]
         )
-    if statics.flip:
-        slabs_native = jnp.flip(slabs_native, axis=statics.axis)
-    slabs_native = slabs_native.astype(jnp.bfloat16)
-
-    order = (statics.axis, u_ax, v_ax, 3)
-    slabs = jnp.transpose(slabs_native, order)  # [S, U, V, 32] bf16
 
     s_pad = num_groups * GS
     slabs = jnp.pad(
