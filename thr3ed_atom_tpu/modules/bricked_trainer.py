@@ -79,7 +79,7 @@ def make_bricked_train_statics(
     occupancy_alpha_thresh: float = 0.0,
     tile_px: int = 0,
     interpret: bool = False,
-    axis_supersample: int = 1,
+    axis_supersample: int = 0,  # 0 = auto (constant world quadrature)
 ) -> BrickedTrainStatics:
     bricked = statics_for_grid(
         voxel_grid,

@@ -114,7 +114,7 @@ def statics_for_grid(
     with_diffuse: bool = False,
     tile_px: int = 0,
     interpret: bool = False,
-    axis_supersample: int = 1,
+    axis_supersample: int = 0,
 ) -> BrickedStatics:
     num_features = voxel_grid.num_features
     assert num_features % 3 == 0, "SH feature count must be 3 * (degree + 1)^2"
@@ -128,6 +128,13 @@ def statics_for_grid(
     assert voxel_grid.feature_postactivation == "identity"
     aabb = voxel_grid.aabb
     dims = voxel_grid.grid_dims
+    if axis_supersample == 0:
+        # AUTO: constant world-space quadrature across grid resolutions - target
+        # ~256 march samples across the grid (the reference recipe's effective
+        # in-grid sampling density), clamped to [1, GS]. Coarse stages supersample
+        # (32^3 -> K=4, 128^3 -> K=2); at 256^3 K=1 already meets the target and
+        # keeps the repack + gradient buffers inside HBM.
+        axis_supersample = max(1, min(GS, round(256 / max(1, dims[axis] - 1))))
     # convert the per-sample alpha threshold to a density threshold: delta per slab
     # crossing is cell_a * ||d|| / |d_a| in [cell_a, sqrt(3) * cell_a] for the
     # dominant axis, so alpha <= sigma * sqrt(3) * cell_a for small alpha

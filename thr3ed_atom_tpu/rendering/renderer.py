@@ -74,12 +74,14 @@ class SHVoxGridRenderConfig:
     # K march samples per cell along the dominant axis (quadrature refinement:
     # K subdivides each slab crossing, approaching the continuum integral at
     # linearly higher kernel cost; must divide the kernel group size GS=4).
-    # Default 2 matches the reference harness's sampling density (256 uniform
-    # samples across a 128-cell traversal) and stabilizes bricked TRAINING -
-    # K=1's theta-jittered quadrature variance acts as gradient noise that
-    # degrades quality at the recipe's 0.03 learning rate (PARITY_RUN.md).
-    # K=1 is the maximum-throughput render mode.
-    bricked_axis_supersample: int = 2
+    # 0 = AUTO: constant world-space quadrature - K = clamp(256/cells, 1, 4), so
+    # every grid resolution marches ~256 samples across the grid (the reference
+    # harness's sampling density; 128^3 -> K=2, 256^3 -> K=1). Supersampling also
+    # stabilizes bricked TRAINING: K=1's theta-jittered quadrature variance at
+    # coarse grids acts as gradient noise that degrades quality at the recipe's
+    # 0.03 learning rate (PARITY_RUN.md). K=1 fixed is the maximum-throughput
+    # render mode.
+    bricked_axis_supersample: int = 0
 
     def replace(self, **overrides) -> "SHVoxGridRenderConfig":
         return dataclasses.replace(self, **overrides)
