@@ -209,9 +209,18 @@ def _make_forward_kernel(ncoeff: int, relu_sigma: bool, exit_eps: float,
                 i, T_cur = carry
                 return (i < count) & (jnp.max(T_cur) > exit_eps)
 
-            jax.lax.while_loop(
+            i_final, _ = jax.lax.while_loop(
                 group_cond, group_body, (0, jnp.ones((R,), jnp.float32))
             )
+
+            # an EARLY exit (i_final < count) leaves the lookahead DMA for entry
+            # i_final in flight; it must be drained before this grid step ends or
+            # its completion corrupts the next tile's semaphore/buffer state
+            # (observed as intermittent TPU worker crashes on dense scenes)
+            @pl.when(i_final < count)
+            def _():
+                get_dma(jax.lax.rem(i_final, 2), i_final).wait()
+
             out_ref[0] = state[...]
 
         pl.run_scoped(
@@ -487,11 +496,16 @@ def _make_backward_kernel(ncoeff: int, relu_sigma: bool, exit_eps: float,
                 i, T_cur, _p = carry
                 return (i < count) & (jnp.max(T_cur) > exit_eps)
 
-            jax.lax.while_loop(
+            i_final, _, _ = jax.lax.while_loop(
                 entry_cond,
                 entry_body,
                 (0, jnp.ones((R,), jnp.float32), jnp.zeros((R, 8), jnp.float32)),
             )
+
+            # drain the early-exit lookahead DMA (see the forward kernel)
+            @pl.when(i_final < count)
+            def _():
+                get_dma(jax.lax.rem(i_final, 2), i_final).wait()
 
         pl.run_scoped(
             body,
