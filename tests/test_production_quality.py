@@ -1,0 +1,99 @@
+"""Production-scale quality gates for the accelerated render paths.
+
+These run the CANONICAL shapes (128^3 trained-like scene, 400x400 image) and so
+need a real accelerator - they are skipped on the CPU test backend where the
+interpret-mode kernel would take hours. Thresholds come from measured values
+(see DESIGN_NOTES.md round-2 results):
+
+  - bricked vs exact@1024: K=1 76.1 dB, K=2 82.6 dB, K=4 88.4 dB
+  - occupancy skipping + early exit: 120 dB (the exact-zero rule is lossless)
+  - fast top-K vs exact@512 on this SOFT scene: K=32 28.2 dB, K=64 35.7 dB
+    (soft volumetric worst case - on TRAINED scenes fast == exact to 1e-7,
+    pinned by the parity runs)
+"""
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() == "cpu",
+    reason="production-scale shapes need a real accelerator",
+)
+
+GRID_SIZE = 128
+IMAGE_SIZE = 400
+
+
+def _psnr(a, b):
+    mse = float(np.mean((np.asarray(a) - np.asarray(b)) ** 2))
+    return 10.0 * np.log10(1.0 / max(mse, 1e-12))
+
+
+@pytest.fixture(scope="module")
+def scene():
+    from make_synthetic_dataset import make_blob_scene
+
+    return make_blob_scene(grid_size=GRID_SIZE, seed=3, converged=True)
+
+
+def _render(grid, procedure, spp, pose_angles=((45.0, -40.0),), **cfg):
+    from thr3ed_atom_tpu.modules.volumetric_model import VolumetricModel
+    from thr3ed_atom_tpu.rendering.renderer import SHVoxGridRenderConfig
+    from thr3ed_atom_tpu.utils.camera import (
+        CameraBounds,
+        CameraIntrinsics,
+        pose_spherical,
+    )
+
+    config = SHVoxGridRenderConfig(
+        num_samples_per_ray=spp,
+        camera_bounds=CameraBounds(2.0, 6.0),
+        perturb_sampled_points=False,
+        white_bkgd=True,
+        **cfg,
+    )
+    vm = VolumetricModel(grid, render_procedure=procedure, render_config=config)
+    intr = CameraIntrinsics(IMAGE_SIZE, IMAGE_SIZE, IMAGE_SIZE * 1.1)
+    return [
+        np.asarray(vm.render(pose_spherical(a, e, 4.0), intr).colour)
+        for a, e in pose_angles
+    ]
+
+
+def test_bricked_quadrature_vs_exact_at_production_scale(scene):
+    exact = _render(scene, "render_sh_voxel_grid", 1024,
+                    parallel_rays_chunk_size=4096)
+    psnrs = {}
+    for k in (1, 2, 4):
+        b = _render(scene, "render_sh_voxel_grid_bricked", 1024,
+                    bricked_axis_supersample=k)
+        psnrs[k] = min(_psnr(x, e) for x, e in zip(b, exact))
+    # measured 76.1 / 82.6 / 88.4 dB; gate with margin + monotonicity
+    assert psnrs[1] > 60.0, psnrs
+    assert psnrs[2] > psnrs[1], psnrs
+    assert psnrs[4] > psnrs[2], psnrs
+
+
+def test_occupancy_skip_neutral_at_production_scale(scene):
+    on = _render(scene, "render_sh_voxel_grid_bricked", 1024)
+    off = _render(scene, "render_sh_voxel_grid_bricked", 1024,
+                  bricked_occupancy_alpha_thresh=0.0, bricked_exit_eps=0.0)
+    p = min(_psnr(a, b) for a, b in zip(on, off))
+    assert p > 60.0, p  # measured 120 dB
+
+
+def test_fast_topk_monotone_at_production_scale(scene):
+    exact = _render(scene, "render_sh_voxel_grid", 512,
+                    parallel_rays_chunk_size=8192)
+    p32 = min(_psnr(f, e) for f, e in zip(
+        _render(scene, "render_sh_voxel_grid_fast", 512, fast_topk=32), exact))
+    p64 = min(_psnr(f, e) for f, e in zip(
+        _render(scene, "render_sh_voxel_grid_fast", 512, fast_topk=64), exact))
+    # soft-scene worst case: measured 28.2 / 35.7 dB; trained scenes are 1e-7-exact
+    assert p32 > 25.0 and p64 > 31.0, (p32, p64)
+    assert p64 > p32, (p32, p64)
