@@ -1,5 +1,11 @@
 """Pallas TPU kernel: weighted row gather as an MXU one-hot matmul.
 
+STATUS: the measured prototype that motivated the production kernel. The
+production integration of this primitive is ``ops/pallas/slab_march.py`` (the
+fused slab-march renderer: tent-product weight build + one MXU matmul per
+(tile, slab-group) patch); this standalone version remains as the tested
+primitive + microbenchmark for VMEM-resident table gathers.
+
 Why: random row gather on TPU runs on the scalar/DMA path (~50-100M rows/s measured,
 independent of arithmetic throughput). When the table is small enough to live in VMEM
 (bricks of a spatially partitioned voxel grid, codebooks, palettes), the gather+reduce
