@@ -10,9 +10,10 @@ crossing (~127-220 samples/ray at 128^3, the trilinear-exact analogue of the
 reference's 256 uniform samples/ray).
 
 Uses the fused slab-march Pallas kernel (render_sh_voxel_grid_bricked,
-ops/pallas/slab_march.py) — the production render path with its training-default
-configuration (occupancy skipping + early exit at the defaults quality-validated in
-tests/test_bricked.py).
+ops/pallas/slab_march.py) — the production render path at its quality defaults:
+auto axis supersampling (K=2 at 128^3 — the reference harness's sampling density;
+82.6 dB vs the exact renderer at 1024 spp) plus occupancy skipping and early exit
+(120 dB neutral). K=1 fixed is the speed mode (76.1 dB, ~2.1x the throughput).
 
 Measurement notes: per-pose programs are compiled per march-axis variant (<= 6) and
 the TPU runtime may run a deoptimized executable until the async AOT compile lands,
