@@ -120,7 +120,7 @@ def main() -> None:
                 "metric": (
                     f"render rays/sec/chip ({GRID_SIZE}^3 grid, "
                     f"{IMAGE_SIZE}x{IMAGE_SIZE}, slab-march kernel, "
-                    f"mean of {NUM_POSES} poses)"
+                    f"best of 3 passes over {NUM_POSES} poses)"
                 ),
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/sec",

@@ -21,6 +21,10 @@ from thr3ed_atom_tpu.utils.metrics import mse2psnr
 
 TEST_SET_PSNR = "TEST_SET_PSNR"
 TEST_SET_LPIPS = "TEST_SET_LPIPS"
+# the seeded random-feature fallback is NOT comparable with calibrated LPIPS, so
+# it reports under its own results/TensorBoard key — dashboards and gates can
+# never silently compare the two
+TEST_SET_LPIPS_RAND = "TEST_SET_LPIPS_RAND"
 
 _lpips_metric: Optional[LPIPSMetric] = None
 
@@ -65,13 +69,14 @@ def test_sh_vox_grid_vol_mod_with_posed_images(
         )
 
     mean_psnr = float(np.mean(psnrs))
+    lpips_key = TEST_SET_LPIPS if lpips_metric.calibrated else TEST_SET_LPIPS_RAND
     results = {
         TEST_SET_PSNR: mean_psnr,
-        TEST_SET_LPIPS: float(np.mean(lpips_scores)),
+        lpips_key: float(np.mean(lpips_scores)),
     }
     log.info(
         f"heldout PSNR: {mean_psnr:.3f}  "
-        f"heldout LPIPS ({lpips_metric.name}): {results[TEST_SET_LPIPS]:.4f}"
+        f"heldout LPIPS ({lpips_metric.name}): {results[lpips_key]:.4f}"
     )
 
     if tensorboard_writer is not None:

@@ -312,9 +312,9 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
     if resume_from is not None:
         # resume: adopt the checkpointed grid AND (when the sibling _opt.npz exists)
         # the optimizer state + exact (stage, iteration), making the resumed
-        # trajectory Adam-faithful; legacy checkpoints without it restart at the
-        # stage AFTER the one whose grid size matches (the reference has no resume
-        # at all, SURVEY.md §5.3)
+        # trajectory Adam-faithful; legacy checkpoints without it restart AT the
+        # stage whose grid size matches, from iteration 1 with a fresh optimizer
+        # (the reference has no resume at all, SURVEY.md §5.3)
         from thr3ed_atom_tpu.modules.volumetric_model import (
             create_volumetric_model_from_saved_model,
         )
@@ -348,12 +348,9 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                         output_size=stagewise_voxel_grid_sizes[saved_stage],
                     )
         else:
+            # the checkpointed grid already has stage `matches[0] + 1`'s size, so
+            # no rescale is needed before re-entering that stage
             start_stage = matches[0] + 1
-            if start_stage <= num_stages:
-                vol_mod.thre3d_repr = scale_voxel_grid_with_required_output_size(
-                    vol_mod.thre3d_repr,
-                    output_size=stagewise_voxel_grid_sizes[start_stage - 1],
-                )
         log.info(
             f"resuming from {resume_from} at stage {start_stage} "
             f"iteration {start_iteration}"
