@@ -61,7 +61,7 @@ def shade(feats, dirs):
     n, s, _ = feats.shape
     sh = feats.reshape(n, s, 3, 9)
     d = jnp.broadcast_to(dirs[:, None, :], (n, s, 3))
-    return evaluate_spherical_harmonics(sh, d)
+    return evaluate_spherical_harmonics(2, sh, d)
 
 
 def fb_composite(alpha, cols, depths, white=True):
