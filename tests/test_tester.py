@@ -11,6 +11,7 @@ from thr3ed_atom_tpu.data.dataset import PosedImagesDataset
 from thr3ed_atom_tpu.models.voxels import VoxelGrid, VoxelSize
 from thr3ed_atom_tpu.modules.tester import (  # noqa: F401
     TEST_SET_LPIPS,
+    TEST_SET_LPIPS_RAND,
     TEST_SET_PSNR,
     test_sh_vox_grid_vol_mod_with_posed_images as evaluate_heldout,  # avoid pytest collection
 )
@@ -81,8 +82,10 @@ def test_evaluation_on_self_rendered_images(tmp_path):
     # limited only by the 8-bit PNG quantization
     assert results[TEST_SET_PSNR] > 45.0
     assert recorder.scalars[TEST_SET_PSNR][1] == 42
-    # LPIPS is ALWAYS computed (pure-JAX metric, random-feature fallback when no
-    # converted VGG weights are shipped); near-identical images score ~0
-    assert TEST_SET_LPIPS in results
-    assert 0.0 <= results[TEST_SET_LPIPS] < 1e-3
-    assert recorder.scalars[TEST_SET_LPIPS][1] == 42
+    # LPIPS is ALWAYS computed (pure-JAX metric); the uncalibrated random-feature
+    # fallback reports under its own key so dashboards never compare it against
+    # calibrated values. Near-identical images score ~0 either way.
+    lpips_key = TEST_SET_LPIPS if TEST_SET_LPIPS in results else TEST_SET_LPIPS_RAND
+    assert lpips_key in results
+    assert 0.0 <= results[lpips_key] < 1e-3
+    assert recorder.scalars[lpips_key][1] == 42

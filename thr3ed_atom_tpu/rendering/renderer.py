@@ -82,6 +82,13 @@ class SHVoxGridRenderConfig:
     # 0.03 learning rate (PARITY_RUN.md). K=1 fixed is the maximum-throughput
     # render mode.
     bricked_axis_supersample: int = 0
+    # plane-march (analytic trapezoid kernel) positions per cell along the
+    # dominant axis — the piecewise-linear density model is integrated in closed
+    # form between consecutive positions (rendering/planes.py). 1 = vertex
+    # planes only (maximum throughput), 2 = planes + cell centers (the quality
+    # default: beats K=2 supersampling at equal interpolation count).
+    # 0 = AUTO: ~256 positions across the grid (32^3 -> 8, 128^3 -> 2, 256^3 -> 1).
+    planes_pos_per_cell: int = 0
 
     def replace(self, **overrides) -> "SHVoxGridRenderConfig":
         return dataclasses.replace(self, **overrides)
@@ -173,10 +180,14 @@ render_sh_voxel_grid_hierarchical.prepare = _prepare_fast
 from thr3ed_atom_tpu.rendering.bricked import (  # noqa: E402
     render_sh_voxel_grid_bricked,
 )
+from thr3ed_atom_tpu.rendering.planes import (  # noqa: E402
+    render_sh_voxel_grid_planes,
+)
 
 RENDER_PROCEDURES = {
     "render_sh_voxel_grid": render_sh_voxel_grid,
     "render_sh_voxel_grid_fast": render_sh_voxel_grid_fast,
     "render_sh_voxel_grid_hierarchical": render_sh_voxel_grid_hierarchical,
     "render_sh_voxel_grid_bricked": render_sh_voxel_grid_bricked,
+    "render_sh_voxel_grid_planes": render_sh_voxel_grid_planes,
 }
