@@ -1,0 +1,583 @@
+"""Gnomonic shear-warp renderer: dense per-plane resampling on the MXU.
+
+The round-3 production render path, replacing the sparse tile-march kernels
+(bricked.py / planes.py) for whole-pose rendering. Same reference semantics
+being replaced: the per-sample hot path of
+thre3d_atom/thre3d_reprs/voxels.py:295-321 (double grid_sample) ->
+rendering/volumetric/process.py:20 (SH shading) -> accumulate.py:49-88
+(compositing); same quadrature model as planes.py (analytic relu-trapezoid
+between trilinear-exact position crossings).
+
+Architecture (see experiments/proto_gnomonic*.py for the measured derivation):
+
+  1. **Gnomonic factorization.** Pick the pose's dominant march axis; texel
+     (p, q) of a "virtual axis-aligned camera" grid is the ray with direction
+     ``D = g*e_axis + x_p*e_u + y_q*e_v`` (g = -1 when the camera looks down
+     the axis). Every such ray crosses march position j at in-plane vertex
+     coordinates that are AFFINE in (x_p, y_q) with per-plane uniform scale,
+     so resampling position slices onto the texel grid is two banded-matrix
+     matmuls — pure MXU work with zero gathers, and the resampled values are
+     the EXACT trilinear field at real ray crossings (the in-plane restriction
+     of a trilinear field is bilinear).
+  2. **Batched u-resample (XLA).** ``t1[j] = Ru_j @ slice_j`` for all
+     positions at once, laid out [NPos, C*Pn, nv] bf16.
+  3. **Fused composite kernel (Pallas).** Streams t1 position-by-position:
+     v-resample matmul in VMEM, SH fold, analytic relu-trapezoid composite.
+     Carries (T, colour, acc, depth, previous plane) persist in VMEM scratch
+     across grid steps, so the [C, Pn, Qn] per-plane values never touch HBM
+     (the pure-XLA scan formulation is HBM-bound at ~66 MB/plane).
+  4. **Projective warp.** One bilinear resample of the composited 8-channel
+     image to the real camera's pixels (a plane-at-infinity homography).
+     Measured 54+ dB vs per-pixel marching at supersample 1.25; the march
+     itself is oracle-exact (94 dB, bf16-resample-limited).
+
+Supersampling ``pos_per_cell`` (P) inserts P-1 interior lerp positions per
+cell (the "split" quadrature that measures above K=2 axis supersampling at
+equal interpolation count — experiments/quality_analytic.py); interior slices
+are lerps of the vertex slices, computed in the repack, so the whole pipeline
+is uniform in NPos. Deterministic: no stratified jitter anywhere.
+
+Measured (v5e, 128^3 grid, 400x400): 10.3 ms/pose at P=1 (15.6M rays/s),
+14.6 ms at P=2 (11.0M rays/s) vs 37 ms for the plane-march kernel path.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from thr3ed_atom_tpu.models.voxels import VoxelGrid
+from thr3ed_atom_tpu.ops.pallas.plane_march import _relu_trap
+from thr3ed_atom_tpu.rendering.bricked import _uv_axes, dominant_axis_for_pose
+from thr3ed_atom_tpu.rendering.interface import RenderOut
+from thr3ed_atom_tpu.utils.constants import (
+    EXTRA_ACCUMULATED_WEIGHTS,
+    EXTRA_DIFFUSE_COLOUR,
+    EXTRA_DISPARITY,
+    ZERO_PLUS,
+)
+
+# SH basis constants (degree <= 2), PlenOctree convention (ops/sh.py)
+_C0 = 0.28209479177387814
+_C1 = 0.4886025119029199
+_C2 = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+       -1.0925484305920792, 0.5462742152960396)
+
+
+class GnomonicStatics(NamedTuple):
+    """Hashable statics selecting one compiled gnomonic render program."""
+
+    dims: Tuple[int, int, int]
+    aabb: Tuple[Tuple[float, float], Tuple[float, float], Tuple[float, float]]
+    axis: int
+    flip: bool
+    ncoeff: int
+    relu_sigma: bool
+    with_diffuse: bool
+    pos_per_cell: int
+    interpret: bool
+
+
+def statics_for_grid(
+    voxel_grid: VoxelGrid,
+    axis: int,
+    flip: bool,
+    *,
+    with_diffuse: bool = False,
+    pos_per_cell: int = 0,
+    interpret: bool = False,
+) -> GnomonicStatics:
+    num_features = voxel_grid.num_features
+    assert num_features % 3 == 0, "SH feature count must be 3 * (degree + 1)^2"
+    ncoeff = num_features // 3
+    assert ncoeff in (1, 4, 9), "gnomonic renderer supports SH degree <= 2"
+    post = voxel_grid.density_postactivation
+    assert post in ("identity", "relu"), (
+        f"gnomonic renderer supports identity/relu density postactivation, got {post}"
+    )
+    assert voxel_grid.feature_postactivation == "identity"
+    dims = voxel_grid.grid_dims
+    if pos_per_cell == 0:
+        # AUTO: constant world-space quadrature across stage resolutions —
+        # target ~256 positions across the grid (32^3 -> 8, 128^3 -> 2,
+        # 256^3 -> 1), mirroring the bricked path's auto supersampling
+        n_cells = dims[axis] - 1
+        pos_per_cell = max(
+            1, min(8, 2 ** round(math.log2(max(1.0, 256 / n_cells))))
+        )
+    assert pos_per_cell in (1, 2, 4, 8), pos_per_cell
+    return GnomonicStatics(
+        dims=tuple(dims),
+        aabb=tuple((float(lo), float(hi)) for (lo, hi) in voxel_grid.aabb),
+        axis=axis,
+        flip=bool(flip),
+        ncoeff=int(ncoeff),
+        relu_sigma=(post == "relu"),
+        with_diffuse=bool(with_diffuse),
+        pos_per_cell=int(pos_per_cell),
+        interpret=bool(interpret),
+    )
+
+
+def _num_positions(statics: GnomonicStatics) -> int:
+    return (statics.dims[statics.axis] - 1) * statics.pos_per_cell + 1
+
+
+# ------------------------------------------------------------------ grid repack
+
+
+def repack_position_slices(voxel_grid: VoxelGrid, statics: GnomonicStatics):
+    """Differentiable repack into front-to-back position slices
+    [NPos, nu, C, nv] f32 (pre-activated; C = 3*ncoeff + 1 padded to a lane
+    multiple). Interior positions (pos_per_cell > 1) are lerps of the two
+    neighbouring vertex slices along the march axis."""
+    axis = statics.axis
+    u_ax, v_ax = _uv_axes(axis)
+    P = statics.pos_per_cell
+    pre_densities, pre_features = voxel_grid.activated_grids()
+    unified = jnp.concatenate([pre_features, pre_densities], axis=-1)
+    C = _padded_channels(statics)
+    unified = jnp.pad(unified, ((0, 0),) * 3 + ((0, C - unified.shape[-1]),))
+    # [NP_vertex, nu, C, nv]
+    slices = jnp.transpose(unified, (axis, u_ax, 3, v_ax))
+    if statics.flip:
+        slices = jnp.flip(slices, axis=0)
+    if P == 1:
+        return slices
+    mid_fracs = [k / P for k in range(1, P)]
+    lo, hi = slices[:-1], slices[1:]
+    subs = [lo] + [(1.0 - f) * lo + f * hi for f in mid_fracs]
+    inter = jnp.stack(subs, axis=1).reshape((-1,) + slices.shape[1:])
+    return jnp.concatenate([inter, slices[-1:]], axis=0)
+
+
+def _padded_channels(statics: GnomonicStatics) -> int:
+    nf = 3 * statics.ncoeff + 1
+    return -(-nf // 8) * 8  # 4 -> 8, 13 -> 16, 28 -> 32
+
+
+# ------------------------------------------------------------------ geometry
+
+
+def gnomonic_frame(rotation: np.ndarray, height: int, width: int, focal: float,
+                   supersample: float, statics: GnomonicStatics):
+    """Per-pose static shape info: (Pn, Qn) texel grid dims. The float ranges
+    are computed in-jit (dynamic) so one program serves every pose of a
+    (axis, flip) variant."""
+    del rotation
+    Pn = -(-int(math.ceil(width * supersample)) // 8) * 8
+    Qn = -(-int(math.ceil(height * supersample)) // 128) * 128
+    return Pn, Qn
+
+
+def _corner_ranges(rotation, height, width, focal, statics):
+    """Gnomonic (x, y) ranges of the image corners (+1 texel margin), in-jit."""
+    axis, u_ax, v_ax = statics.axis, *_uv_axes(statics.axis)
+    g = -1.0 if statics.flip else 1.0
+    cx = jnp.asarray([0.0, width, 0.0, width], jnp.float32)
+    cy = jnp.asarray([0.0, 0.0, height, height], jnp.float32)
+    dirs_cam = jnp.stack(
+        [(cx - width / 2) / focal, -(cy - height / 2) / focal, -jnp.ones(4)],
+        axis=-1,
+    )
+    d = dirs_cam @ rotation.T
+    x_c = g * d[:, u_ax] / d[:, axis]
+    y_c = g * d[:, v_ax] / d[:, axis]
+    return (jnp.min(x_c), jnp.max(x_c)), (jnp.min(y_c), jnp.max(y_c))
+
+
+# ------------------------------------------------------------------ kernel
+
+
+def _make_composite_kernel(NP, Pn, Qn, nv, C, ncoeff, relu_sigma, with_diffuse):
+    """Fused v-resample + SH fold + trapezoid composite; grid=(NP,)."""
+    # state rows: [T, colR, colG, colB, acc, dep, (difR, difG, difB)]
+    SROWS = (9 if with_diffuse else 6)
+    # prev rows: sig, rgbraw x3, (difraw x3,) live — a cell composites only
+    # when BOTH endpoint positions are live (outside-AABB samples are dropped,
+    # matching the exact renderer's masking; reference process.py:78-85)
+    PROWS = (8 if with_diffuse else 5)
+    LROW = PROWS - 1
+
+    def kernel(geom_ref, t1_ref, rvt_ref, yb_ref, lu_ref, lv_ref, norm_ref,
+               out_ref, prev_ref, state_ref):
+        j = pl.program_id(0)
+        vals = jnp.dot(t1_ref[0], rvt_ref[0], preferred_element_type=jnp.float32)
+        livem = lu_ref[0] * lv_ref[0]  # [Pn, 1] * [1, Qn]
+        sig = vals[3 * ncoeff * Pn:(3 * ncoeff + 1) * Pn, :]
+
+        def fold(colour, coeffs):
+            acc = yb_ref[0:Pn] * vals[(colour * ncoeff) * Pn:(colour * ncoeff + 1) * Pn]
+            for k in range(1, coeffs):
+                ch = colour * ncoeff + k
+                acc += yb_ref[k * Pn:(k + 1) * Pn] * vals[ch * Pn:(ch + 1) * Pn]
+            return acc
+
+        rgb = [fold(c, ncoeff) for c in range(3)]
+        if with_diffuse:
+            dif = [fold(c, 1) for c in range(3)]
+
+        @pl.when(j == 0)
+        def _():
+            state_ref[...] = jnp.zeros_like(state_ref)
+            state_ref[0:Pn, :] = jnp.ones((Pn, Qn), jnp.float32)
+
+        @pl.when(j > 0)
+        def _():
+            sig_a = prev_ref[0:Pn, :]
+            integ, tbar, _, _ = _relu_trap(sig_a, sig, relu_sigma)
+            integ = integ * (prev_ref[LROW * Pn:(LROW + 1) * Pn, :] * livem)
+            cell_step = geom_ref[j, 1]
+            delta = cell_step * norm_ref[...]
+            alpha = 1.0 - jnp.exp(-integ * delta)
+            T = state_ref[0:Pn, :]
+            w = alpha * T
+            s_b = geom_ref[j, 0]
+            s_mid = (s_b - cell_step + tbar * cell_step) * norm_ref[...]
+            tb1 = 1.0 - tbar
+            for c in range(3):
+                mraw = tb1 * prev_ref[(1 + c) * Pn:(2 + c) * Pn, :] + tbar * rgb[c]
+                state_ref[(1 + c) * Pn:(2 + c) * Pn, :] += jax.nn.sigmoid(mraw) * w
+            state_ref[4 * Pn:5 * Pn, :] += w
+            state_ref[5 * Pn:6 * Pn, :] += w * s_mid
+            if with_diffuse:
+                for c in range(3):
+                    mraw = (
+                        tb1 * prev_ref[(4 + c) * Pn:(5 + c) * Pn, :]
+                        + tbar * dif[c]
+                    )
+                    state_ref[(6 + c) * Pn:(7 + c) * Pn, :] += (
+                        jax.nn.sigmoid(mraw) * w
+                    )
+            state_ref[0:Pn, :] = T * (1.0 - alpha)
+
+        prev_ref[0:Pn, :] = sig
+        for c in range(3):
+            prev_ref[(1 + c) * Pn:(2 + c) * Pn, :] = rgb[c]
+        if with_diffuse:
+            for c in range(3):
+                prev_ref[(4 + c) * Pn:(5 + c) * Pn, :] = dif[c]
+        prev_ref[LROW * Pn:(LROW + 1) * Pn, :] = jnp.broadcast_to(
+            livem, (Pn, Qn)
+        )
+
+        @pl.when(j == NP - 1)
+        def _():
+            out_ref[...] = state_ref[...]
+
+    return kernel, SROWS, PROWS
+
+
+def composite_positions(t1, rvt, ybasis, live_u, live_v, norm, geom, statics,
+                        Pn, Qn):
+    """Run the fused composite kernel over the position stack.
+
+    t1 [NP, C*Pn, nv] bf16, rvt [NP, nv, Qn] bf16, ybasis [ncoeff*Pn, Qn] f32,
+    live_u [NP, Pn, 1] f32, live_v [NP, 1, Qn] f32, norm [Pn, Qn] f32,
+    geom [NP, 8] f32 (s_j, cell_step). Returns [SROWS*Pn, Qn] f32 composited
+    state: rows (T, colour rgb, acc, depth[, diffuse rgb])."""
+    NP = t1.shape[0]
+    nv = t1.shape[2]
+    C = _padded_channels(statics)
+    kernel, SROWS, PROWS = _make_composite_kernel(
+        NP, Pn, Qn, nv, C, statics.ncoeff, statics.relu_sigma,
+        statics.with_diffuse,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(NP,),
+        in_specs=[
+            pl.BlockSpec((NP, 8), lambda t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, C * Pn, nv), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, nv, Qn), lambda t: (t, 0, 0)),
+            pl.BlockSpec((statics.ncoeff * Pn, Qn), lambda t: (0, 0)),
+            pl.BlockSpec((1, Pn, 1), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, 1, Qn), lambda t: (t, 0, 0)),
+            pl.BlockSpec((Pn, Qn), lambda t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((SROWS * Pn, Qn), lambda t: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((SROWS * Pn, Qn), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((PROWS * Pn, Qn), jnp.float32),
+            pltpu.VMEM((SROWS * Pn, Qn), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=statics.interpret,
+    )(geom, t1, rvt, ybasis, live_u, live_v, norm)
+
+
+# ------------------------------------------------------------------ pipeline
+
+
+def _ybasis_rows(x_, y_, z_, ncoeff, Pn, Qn):
+    """SH basis values of the texel directions, stacked [ncoeff*Pn, Qn]."""
+    rows = [_C0 * jnp.ones((Pn, Qn), jnp.float32)]
+    if ncoeff > 1:
+        rows += [-_C1 * y_, _C1 * z_, -_C1 * x_]
+    if ncoeff > 4:
+        rows += [
+            _C2[0] * x_ * y_,
+            _C2[1] * y_ * z_,
+            _C2[2] * (2.0 * z_ * z_ - x_ * x_ - y_ * y_),
+            _C2[3] * x_ * z_,
+            _C2[4] * (x_ * x_ - y_ * y_),
+        ]
+    return jnp.concatenate(rows, axis=0)
+
+
+@partial(jax.jit, static_argnames=("statics", "height", "width", "supersample"))
+def _march_gnomonic(
+    slices,  # [NP, nu, C, nv] f32 (repacked position slices)
+    rotation,  # [3, 3] f32
+    origin,  # [3] f32
+    statics: GnomonicStatics,
+    height: int,
+    width: int,
+    focal,
+    supersample: float,
+):
+    """Resample + composite in gnomonic space. Returns (state [SROWS*Pn, Qn],
+    x-range, y-range) — everything needed by the warp."""
+    axis = statics.axis
+    u_ax, v_ax = _uv_axes(axis)
+    g = -1.0 if statics.flip else 1.0
+    P = statics.pos_per_cell
+    aabb, dims = statics.aabb, statics.dims
+    NP, nu, C, nv = slices.shape
+    Pn, Qn = gnomonic_frame(None, height, width, focal, supersample, statics)
+    lo_a, hi_a = aabb[axis]
+    cell_a = (hi_a - lo_a) / dims[axis]
+    su = dims[u_ax] / (aabb[u_ax][1] - aabb[u_ax][0])
+    sv = dims[v_ax] / (aabb[v_ax][1] - aabb[v_ax][0])
+
+    (x0, x1), (y0, y1) = _corner_ranges(rotation, height, width, focal, statics)
+    mx = (x1 - x0) / Pn
+    my = (y1 - y0) / Qn
+    x0, x1 = x0 - mx, x1 + mx
+    y0, y1 = y0 - my, y1 + my
+
+    xs = x0 + (x1 - x0) * jnp.arange(Pn, dtype=jnp.float32) / (Pn - 1)
+    ys = y0 + (y1 - y0) * jnp.arange(Qn, dtype=jnp.float32) / (Qn - 1)
+    norm = jnp.sqrt(1.0 + xs[:, None] ** 2 + ys[None, :] ** 2)
+
+    comp = [None, None, None]
+    comp[u_ax] = xs[:, None] / norm
+    comp[v_ax] = jnp.broadcast_to(ys[None, :], (Pn, Qn)) / norm
+    comp[axis] = g / norm
+    ybasis = _ybasis_rows(comp[0], comp[1], comp[2], statics.ncoeff, Pn, Qn)
+
+    j = jnp.arange(NP, dtype=jnp.float32)
+    c_j = (NP - 1 - j) / P if statics.flip else j / P
+    w_j = lo_a + (c_j + 0.5) * cell_a
+    s_j = (w_j - origin[axis]) / g
+
+    a_u = (origin[u_ax] - aabb[u_ax][0]) * su - 0.5
+    a_v = (origin[v_ax] - aabb[v_ax][0]) * sv - 0.5
+    U = a_u + (s_j[:, None] * su) * xs[None, :]  # [NP, Pn]
+    V = a_v + (s_j[:, None] * sv) * ys[None, :]  # [NP, Qn]
+
+    def tent(pos, n):
+        idx = jnp.arange(n, dtype=jnp.float32)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - idx))
+
+    Ru = tent(U, nu).astype(jnp.bfloat16)  # [NP, Pn, nu]
+    RvT = jnp.swapaxes(tent(V, nv), 1, 2).astype(jnp.bfloat16)  # [NP, nv, Qn]
+    live_u = (
+        (U >= -0.5) & (U <= nu - 0.5) & (s_j[:, None] > 0.0)
+    ).astype(jnp.float32)[..., None]
+    live_v = ((V >= -0.5) & (V <= nv - 0.5)).astype(jnp.float32)[:, None, :]
+
+    # u-resample, batched over positions (XLA/MXU): [NP, C*Pn, nv] bf16
+    t1 = jnp.einsum(
+        "jpu,jucv->jcpv",
+        Ru,
+        slices.astype(jnp.bfloat16),
+        preferred_element_type=jnp.bfloat16,
+    ).reshape(NP, C * Pn, nv)
+
+    cell_step = jnp.full((NP,), cell_a / P, jnp.float32)
+    geom = jnp.stack(
+        [s_j, cell_step] + [jnp.zeros_like(s_j)] * 6, axis=-1
+    )  # [NP, 8]
+
+    state = composite_positions(
+        t1, RvT, ybasis, live_u, live_v, norm, geom, statics, Pn, Qn
+    )
+    return state, (x0, x1), (y0, y1)
+
+
+@partial(jax.jit, static_argnames=("statics", "height", "width", "supersample",
+                                   "white_bkgd"))
+def _warp_to_camera(
+    state,  # [SROWS*Pn, Qn] composited gnomonic state
+    xr,
+    yr,
+    rotation,
+    statics: GnomonicStatics,
+    height: int,
+    width: int,
+    focal,
+    supersample: float,
+    white_bkgd: bool,
+):
+    axis = statics.axis
+    u_ax, v_ax = _uv_axes(axis)
+    g = -1.0 if statics.flip else 1.0
+    Pn, Qn = gnomonic_frame(None, height, width, focal, supersample, statics)
+    x0, x1 = xr
+    y0, y1 = yr
+    nch = 8 if statics.with_diffuse else 5
+    # channels: colR, colG, colB, acc, dep (, difR, difG, difB)
+    chans = [state[(1 + c) * Pn:(2 + c) * Pn] for c in range(3)]
+    chans.append(state[4 * Pn:5 * Pn])
+    chans.append(state[5 * Pn:6 * Pn])
+    if statics.with_diffuse:
+        chans += [state[(6 + c) * Pn:(7 + c) * Pn] for c in range(3)]
+    src = jnp.stack(chans, axis=-1)  # [Pn, Qn, nch]
+
+    px = jnp.arange(width, dtype=jnp.float32) + 0.5
+    py = jnp.arange(height, dtype=jnp.float32) + 0.5
+    gx, gy = jnp.meshgrid(px, py, indexing="xy")
+    dirs_cam = jnp.stack(
+        [(gx - width / 2) / focal, -(gy - height / 2) / focal,
+         -jnp.ones_like(gx)],
+        axis=-1,
+    )
+    d = jnp.einsum("ij,hwj->hwi", rotation, dirs_cam)
+    x = g * d[..., u_ax] / d[..., axis]
+    y = g * d[..., v_ax] / d[..., axis]
+    p = (x - x0) / (x1 - x0) * (Pn - 1)
+    q = (y - y0) / (y1 - y0) * (Qn - 1)
+    p0 = jnp.clip(jnp.floor(p), 0, Pn - 2).astype(jnp.int32)
+    q0 = jnp.clip(jnp.floor(q), 0, Qn - 2).astype(jnp.int32)
+    fp = p - p0
+    fq = q - q0
+    flat = src.reshape(Pn * Qn, nch)
+
+    def gat(dp, dq):
+        return jnp.take(flat, (p0 + dp) * Qn + (q0 + dq), axis=0)
+
+    out = (
+        gat(0, 0) * ((1 - fp) * (1 - fq))[..., None]
+        + gat(1, 0) * (fp * (1 - fq))[..., None]
+        + gat(0, 1) * ((1 - fp) * fq)[..., None]
+        + gat(1, 1) * (fp * fq)[..., None]
+    )  # [H, W, nch]
+
+    colour = out[..., 0:3]
+    acc = out[..., 3:4]
+    # depth in world units -> reference convention (units of the pinhole dir)
+    dnorm = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    depth = out[..., 4:5] / dnorm
+    if white_bkgd:
+        colour = colour + (1.0 - acc)
+    disparity = 1.0 / jnp.maximum(ZERO_PLUS, depth / jnp.maximum(acc, ZERO_PLUS))
+    extra = {
+        EXTRA_DISPARITY: disparity,
+        EXTRA_ACCUMULATED_WEIGHTS: acc,
+    }
+    if statics.with_diffuse:
+        diffuse = out[..., 5:8]
+        if white_bkgd:
+            diffuse = diffuse + (1.0 - acc)
+        extra[EXTRA_DIFFUSE_COLOUR] = diffuse
+    return RenderOut(colour=colour, depth=depth, extra=extra)
+
+
+# ------------------------------------------------------------------ public API
+
+
+DEFAULT_SUPERSAMPLE = 1.25
+
+_repack_jit = jax.jit(repack_position_slices, static_argnums=(1,))
+
+
+def render_image_gnomonic(
+    voxel_grid: VoxelGrid,
+    camera_pose,
+    camera_intrinsics,
+    config,
+    key: Optional[jax.Array] = None,
+    cache: Optional[dict] = None,
+    interpret: Optional[bool] = None,
+) -> RenderOut:
+    """Full-image render via the gnomonic shear-warp pipeline (pose-level API).
+
+    The per-pose repacked position-slice stack is cached in ``cache`` (keyed by
+    march axis/flip/P, invalidated when the grid arrays change)."""
+    del key  # deterministic
+    rotation = np.asarray(camera_pose.rotation).reshape(3, 3)
+    axis, flip = dominant_axis_for_pose(rotation)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    want_diffuse = bool(
+        getattr(config, "also_render_diffuse", False)
+        or getattr(config, "render_diffuse", False)
+    )
+    statics = statics_for_grid(
+        voxel_grid,
+        axis,
+        flip,
+        with_diffuse=want_diffuse,
+        pos_per_cell=getattr(config, "gnomonic_pos_per_cell", 0),
+        interpret=interpret,
+    )
+    supersample = float(
+        getattr(config, "gnomonic_supersample", DEFAULT_SUPERSAMPLE)
+    )
+
+    slices = None
+    cache_key = ("gnomonic", axis, flip, statics.pos_per_cell)
+    if cache is not None:
+        entry = cache.get(cache_key)
+        if (
+            entry is not None
+            and entry[0] is voxel_grid.densities
+            and entry[1] is voxel_grid.features
+        ):
+            slices = entry[2]
+    if slices is None:
+        slices = _repack_jit(voxel_grid, statics)
+        if cache is not None:
+            cache[cache_key] = (voxel_grid.densities, voxel_grid.features, slices)
+
+    rot_j = jnp.asarray(rotation, jnp.float32)
+    origin = jnp.asarray(
+        np.asarray(camera_pose.translation), jnp.float32
+    ).reshape(3)
+    height = int(camera_intrinsics.height)
+    width = int(camera_intrinsics.width)
+    focal = float(camera_intrinsics.focal)
+    state, xr, yr = _march_gnomonic(
+        slices, rot_j, origin, statics, height, width, focal, supersample
+    )
+    return _warp_to_camera(
+        state, xr, yr, rot_j, statics, height, width, focal, supersample,
+        bool(config.white_bkgd),
+    )
+
+
+class _GnomonicProcedure:
+    """RENDER_PROCEDURES entry: gnomonic rendering is pose-structured; the
+    flat-ray call signature dispatches via VolumetricModel.render."""
+
+    prepare = None
+    render_image = staticmethod(render_image_gnomonic)
+
+    def __call__(self, voxel_grid, rays, render_config, key=None, prepared=None):
+        raise NotImplementedError(
+            "render_sh_voxel_grid_gnomonic renders whole camera poses, not flat "
+            "ray batches; call VolumetricModel.render(pose, intrinsics) or use "
+            "render_sh_voxel_grid_fast for arbitrary ray sets."
+        )
+
+
+render_sh_voxel_grid_gnomonic = _GnomonicProcedure()

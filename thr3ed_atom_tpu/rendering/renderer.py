@@ -89,6 +89,11 @@ class SHVoxGridRenderConfig:
     # default: beats K=2 supersampling at equal interpolation count).
     # 0 = AUTO: ~256 positions across the grid (32^3 -> 8, 128^3 -> 2, 256^3 -> 1).
     planes_pos_per_cell: int = 0
+    # gnomonic shear-warp renderer (rendering/gnomonic.py): positions per cell
+    # (same AUTO semantics as planes_pos_per_cell) and the gnomonic texel grid's
+    # supersampling factor over the output image (higher = sharper final warp).
+    gnomonic_pos_per_cell: int = 0
+    gnomonic_supersample: float = 1.25
 
     def replace(self, **overrides) -> "SHVoxGridRenderConfig":
         return dataclasses.replace(self, **overrides)
@@ -183,6 +188,9 @@ from thr3ed_atom_tpu.rendering.bricked import (  # noqa: E402
 from thr3ed_atom_tpu.rendering.planes import (  # noqa: E402
     render_sh_voxel_grid_planes,
 )
+from thr3ed_atom_tpu.rendering.gnomonic import (  # noqa: E402
+    render_sh_voxel_grid_gnomonic,
+)
 
 RENDER_PROCEDURES = {
     "render_sh_voxel_grid": render_sh_voxel_grid,
@@ -190,4 +198,5 @@ RENDER_PROCEDURES = {
     "render_sh_voxel_grid_hierarchical": render_sh_voxel_grid_hierarchical,
     "render_sh_voxel_grid_bricked": render_sh_voxel_grid_bricked,
     "render_sh_voxel_grid_planes": render_sh_voxel_grid_planes,
+    "render_sh_voxel_grid_gnomonic": render_sh_voxel_grid_gnomonic,
 }
