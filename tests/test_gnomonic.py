@@ -79,7 +79,7 @@ def _oracle_at_rays(grid, origin, dirs, P, axis, flip, relu_sigma, ncoeff=9,
     feats, sigma = vals[:, :-1], vals[:, -1]
     sigma = sigma.reshape(s.shape)
     viewdirs = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    deg = {1: 0, 4: 1, 9: 2}[ncoeff]
+    deg = {1: 0, 4: 1, 9: 2, 16: 3}[ncoeff]
     sh = feats.reshape(*s.shape, 3, ncoeff)
     raw_rgb = evaluate_spherical_harmonics(deg, sh, viewdirs[:, None, :])
     raw_dif = evaluate_spherical_harmonics(0, sh[..., :1], viewdirs[:, None, :])
@@ -133,7 +133,7 @@ def test_gnomonic_texels_match_oracle(key, yaw, pitch, P):
         slices, jnp.asarray(rotation, jnp.float32), jnp.asarray(origin, jnp.float32),
         statics, H, W, float(focal), 1.25,
     )
-    Pn, Qn = gn.gnomonic_frame(None, H, W, focal, 1.25, statics)
+    Pn, Qn, _pb, _pbs = gn.gnomonic_frame(None, H, W, focal, 1.25, statics)
     x0, x1 = float(xr[0]), float(xr[1])
     y0, y1 = float(yr[0]), float(yr[1])
     xs = np.linspace(x0, x1, Pn)
@@ -148,13 +148,11 @@ def test_gnomonic_texels_match_oracle(key, yaw, pitch, P):
     oc, oa, _, _ = _oracle_at_rays(
         grid, origin, jnp.asarray(dirs), P, axis, flip, True
     )
-    col = np.asarray(state[Pn:2 * Pn]), np.asarray(state[2 * Pn:3 * Pn]), np.asarray(
-        state[3 * Pn:4 * Pn]
-    )
+    col = np.asarray(state[1]), np.asarray(state[2]), np.asarray(state[3])
     got = np.stack(
         [c[pg.ravel(), qg.ravel()] for c in col], axis=-1
     )
-    acc = np.asarray(state[4 * Pn:5 * Pn])[pg.ravel(), qg.ravel()]
+    acc = np.asarray(state[4])[pg.ravel(), qg.ravel()]
     assert np.max(np.abs(got - np.asarray(oc))) < 5e-3
     assert np.max(np.abs(acc - np.asarray(oa)[:, 0])) < 5e-3
 
@@ -240,6 +238,48 @@ def test_registered_procedure_and_volmod_dispatch(key):
         from thr3ed_atom_tpu.rendering.renderer import RENDER_PROCEDURES
 
         RENDER_PROCEDURES["render_sh_voxel_grid_gnomonic"](grid, None, None)
+
+
+def test_gnomonic_degree3_matches_oracle(key):
+    """Degree-3 SH (16 coeffs, 48+1 channels) on the gnomonic path — the dense
+    formulation has no slab-lane cap (reference spherical_harmonics.py:79
+    supports degree 3; the bricked kernel stops at 2). Pinned in texel space
+    where the march is oracle-exact; the final warp is degree-independent
+    (it resamples the composited 8-channel state) and is covered by
+    test_warped_image_matches_oracle_pixels."""
+    grid = _make_grid(key, post="relu", ncoeff=16)
+    pose = pose_spherical(140.0, -50.0, 3.5)
+    H = W = 40
+    focal = 44.0
+    rotation = np.asarray(pose.rotation).reshape(3, 3)
+    origin = np.asarray(pose.translation).reshape(3)
+    axis, flip = dominant_axis_for_pose(rotation)
+    u_ax, v_ax = _uv_axes(axis)
+    g = -1.0 if flip else 1.0
+    statics = gn.statics_for_grid(grid, axis, flip, pos_per_cell=1, interpret=True)
+    slices = gn.repack_position_slices(grid, statics)
+    state, xr, yr = gn._march_gnomonic(
+        slices, jnp.asarray(rotation, jnp.float32), jnp.asarray(origin, jnp.float32),
+        statics, H, W, float(focal), 1.25,
+    )
+    Pn, Qn, _pb, _pbs = gn.gnomonic_frame(None, H, W, focal, 1.25, statics)
+    xs = np.linspace(float(xr[0]), float(xr[1]), Pn)
+    ys = np.linspace(float(yr[0]), float(yr[1]), Qn)
+    ps = np.arange(2, Pn - 2, 5)
+    qs = np.arange(2, Qn - 2, 7)
+    pg, qg = np.meshgrid(ps, qs, indexing="ij")
+    dirs = np.zeros((pg.size, 3), np.float32)
+    dirs[:, axis] = g
+    dirs[:, u_ax] = xs[pg.ravel()]
+    dirs[:, v_ax] = ys[qg.ravel()]
+    oc, oa, _, _ = _oracle_at_rays(
+        grid, origin, jnp.asarray(dirs), 1, axis, flip, True, ncoeff=16
+    )
+    col = np.asarray(state[1]), np.asarray(state[2]), np.asarray(state[3])
+    got = np.stack([c[pg.ravel(), qg.ravel()] for c in col], axis=-1)
+    acc = np.asarray(state[4])[pg.ravel(), qg.ravel()]
+    assert np.max(np.abs(got - np.asarray(oc))) < 5e-3
+    assert np.max(np.abs(acc - np.asarray(oa)[:, 0])) < 5e-3
 
 
 def test_auto_pos_per_cell(key):

@@ -63,11 +63,8 @@ from thr3ed_atom_tpu.utils.constants import (
     ZERO_PLUS,
 )
 
-# SH basis constants (degree <= 2), PlenOctree convention (ops/sh.py)
-_C0 = 0.28209479177387814
-_C1 = 0.4886025119029199
-_C2 = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
-       -1.0925484305920792, 0.5462742152960396)
+# SH basis constants (degree <= 3), PlenOctree convention
+from thr3ed_atom_tpu.ops.sh import C0 as _C0, C1 as _C1, C2 as _C2, C3 as _C3
 
 
 class GnomonicStatics(NamedTuple):
@@ -96,7 +93,7 @@ def statics_for_grid(
     num_features = voxel_grid.num_features
     assert num_features % 3 == 0, "SH feature count must be 3 * (degree + 1)^2"
     ncoeff = num_features // 3
-    assert ncoeff in (1, 4, 9), "gnomonic renderer supports SH degree <= 2"
+    assert ncoeff in (1, 4, 9, 16), "gnomonic renderer supports SH degree <= 3"
     post = voxel_grid.density_postactivation
     assert post in ("identity", "relu"), (
         f"gnomonic renderer supports identity/relu density postactivation, got {post}"
@@ -167,13 +164,17 @@ def _padded_channels(statics: GnomonicStatics) -> int:
 
 def gnomonic_frame(rotation: np.ndarray, height: int, width: int, focal: float,
                    supersample: float, statics: GnomonicStatics):
-    """Per-pose static shape info: (Pn, Qn) texel grid dims. The float ranges
-    are computed in-jit (dynamic) so one program serves every pose of a
-    (axis, flip) variant."""
-    del rotation
-    Pn = -(-int(math.ceil(width * supersample)) // 8) * 8
+    """Per-pose static shape info: (Pn, Qn, PB, Pb) texel grid dims + u-axis
+    kernel blocking. The float ranges are computed in-jit (dynamic) so one
+    program serves every pose of an (axis, flip) variant."""
+    del rotation, focal
+    Pn_raw = -(-int(math.ceil(width * supersample)) // 8) * 8
     Qn = -(-int(math.ceil(height * supersample)) // 128) * 128
-    return Pn, Qn
+    _, v_ax = _uv_axes(statics.axis)
+    nv = statics.dims[v_ax]
+    C = _padded_channels(statics)
+    PB, Pb, Pn = _p_blocking(Pn_raw, Qn, nv, C, statics.with_diffuse)
+    return Pn, Qn, PB, Pb
 
 
 def _corner_ranges(rotation, height, width, focal, statics):
@@ -195,28 +196,57 @@ def _corner_ranges(rotation, height, width, focal, statics):
 # ------------------------------------------------------------------ kernel
 
 
-def _make_composite_kernel(NP, Pn, Qn, nv, C, ncoeff, relu_sigma, with_diffuse):
-    """Fused v-resample + SH fold + trapezoid composite; grid=(NP,)."""
+def _sprows(with_diffuse: bool) -> Tuple[int, int]:
     # state rows: [T, colR, colG, colB, acc, dep, (difR, difG, difB)]
-    SROWS = (9 if with_diffuse else 6)
+    SROWS = 9 if with_diffuse else 6
     # prev rows: sig, rgbraw x3, (difraw x3,) live — a cell composites only
     # when BOTH endpoint positions are live (outside-AABB samples are dropped,
     # matching the exact renderer's masking; reference process.py:78-85)
-    PROWS = (8 if with_diffuse else 5)
+    PROWS = 8 if with_diffuse else 5
+    return SROWS, PROWS
+
+
+def _p_blocking(Pn_raw: int, Qn: int, nv: int, C: int, with_diffuse: bool):
+    """Split the u-dimension into PB blocks so the kernel's VMEM working set
+    (the [C*Pb, Qn] f32 values + carries + double-buffered t1) stays bounded.
+    Returns (PB, Pb, Pn) with Pn = PB * Pb rounded up from Pn_raw."""
+    SROWS, PROWS = _sprows(with_diffuse)
+    budget = 90 * 1024 * 1024
+    PB = 1
+    while True:
+        Pb = -(-Pn_raw // (8 * PB)) * 8
+        est = (
+            4 * C * Pb * Qn  # vals
+            + 4 * (SROWS * 2 + PROWS) * Pb * Qn  # state + out + prev
+            + 4 * 9 * Pb * Qn  # ybasis block
+            + 2 * 2 * C * Pb * nv  # t1 double buffer
+        )
+        if est <= budget or PB >= 64:
+            return PB, Pb, PB * Pb
+        PB *= 2
+
+
+def _make_composite_kernel(NP, Pb, Qn, nv, C, ncoeff, relu_sigma, with_diffuse):
+    """Fused v-resample + SH fold + trapezoid composite; grid=(PB, NP) — the
+    position axis is innermost so carries persist in scratch per u-block."""
+    SROWS, PROWS = _sprows(with_diffuse)
     LROW = PROWS - 1
 
     def kernel(geom_ref, t1_ref, rvt_ref, yb_ref, lu_ref, lv_ref, norm_ref,
                out_ref, prev_ref, state_ref):
-        j = pl.program_id(0)
-        vals = jnp.dot(t1_ref[0], rvt_ref[0], preferred_element_type=jnp.float32)
-        livem = lu_ref[0] * lv_ref[0]  # [Pn, 1] * [1, Qn]
-        sig = vals[3 * ncoeff * Pn:(3 * ncoeff + 1) * Pn, :]
+        j = pl.program_id(1)
+        vals = jnp.dot(
+            t1_ref[0].reshape(C * Pb, nv), rvt_ref[0],
+            preferred_element_type=jnp.float32,
+        )
+        livem = lu_ref[0] * lv_ref[0]  # [Pb, 1] * [1, Qn]
+        sig = vals[3 * ncoeff * Pb:(3 * ncoeff + 1) * Pb, :]
 
         def fold(colour, coeffs):
-            acc = yb_ref[0:Pn] * vals[(colour * ncoeff) * Pn:(colour * ncoeff + 1) * Pn]
+            acc = yb_ref[0] * vals[(colour * ncoeff) * Pb:(colour * ncoeff + 1) * Pb]
             for k in range(1, coeffs):
                 ch = colour * ncoeff + k
-                acc += yb_ref[k * Pn:(k + 1) * Pn] * vals[ch * Pn:(ch + 1) * Pn]
+                acc += yb_ref[k] * vals[ch * Pb:(ch + 1) * Pb]
             return acc
 
         rgb = [fold(c, ncoeff) for c in range(3)]
@@ -226,46 +256,39 @@ def _make_composite_kernel(NP, Pn, Qn, nv, C, ncoeff, relu_sigma, with_diffuse):
         @pl.when(j == 0)
         def _():
             state_ref[...] = jnp.zeros_like(state_ref)
-            state_ref[0:Pn, :] = jnp.ones((Pn, Qn), jnp.float32)
+            state_ref[0] = jnp.ones((Pb, Qn), jnp.float32)
 
         @pl.when(j > 0)
         def _():
-            sig_a = prev_ref[0:Pn, :]
+            sig_a = prev_ref[0]
             integ, tbar, _, _ = _relu_trap(sig_a, sig, relu_sigma)
-            integ = integ * (prev_ref[LROW * Pn:(LROW + 1) * Pn, :] * livem)
+            integ = integ * (prev_ref[LROW] * livem)
             cell_step = geom_ref[j, 1]
             delta = cell_step * norm_ref[...]
             alpha = 1.0 - jnp.exp(-integ * delta)
-            T = state_ref[0:Pn, :]
+            T = state_ref[0]
             w = alpha * T
             s_b = geom_ref[j, 0]
             s_mid = (s_b - cell_step + tbar * cell_step) * norm_ref[...]
             tb1 = 1.0 - tbar
             for c in range(3):
-                mraw = tb1 * prev_ref[(1 + c) * Pn:(2 + c) * Pn, :] + tbar * rgb[c]
-                state_ref[(1 + c) * Pn:(2 + c) * Pn, :] += jax.nn.sigmoid(mraw) * w
-            state_ref[4 * Pn:5 * Pn, :] += w
-            state_ref[5 * Pn:6 * Pn, :] += w * s_mid
+                mraw = tb1 * prev_ref[1 + c] + tbar * rgb[c]
+                state_ref[1 + c] += jax.nn.sigmoid(mraw) * w
+            state_ref[4] += w
+            state_ref[5] += w * s_mid
             if with_diffuse:
                 for c in range(3):
-                    mraw = (
-                        tb1 * prev_ref[(4 + c) * Pn:(5 + c) * Pn, :]
-                        + tbar * dif[c]
-                    )
-                    state_ref[(6 + c) * Pn:(7 + c) * Pn, :] += (
-                        jax.nn.sigmoid(mraw) * w
-                    )
-            state_ref[0:Pn, :] = T * (1.0 - alpha)
+                    mraw = tb1 * prev_ref[4 + c] + tbar * dif[c]
+                    state_ref[6 + c] += jax.nn.sigmoid(mraw) * w
+            state_ref[0] = T * (1.0 - alpha)
 
-        prev_ref[0:Pn, :] = sig
+        prev_ref[0] = sig
         for c in range(3):
-            prev_ref[(1 + c) * Pn:(2 + c) * Pn, :] = rgb[c]
+            prev_ref[1 + c] = rgb[c]
         if with_diffuse:
             for c in range(3):
-                prev_ref[(4 + c) * Pn:(5 + c) * Pn, :] = dif[c]
-        prev_ref[LROW * Pn:(LROW + 1) * Pn, :] = jnp.broadcast_to(
-            livem, (Pn, Qn)
-        )
+                prev_ref[4 + c] = dif[c]
+        prev_ref[LROW] = jnp.broadcast_to(livem, (Pb, Qn))
 
         @pl.when(j == NP - 1)
         def _():
@@ -275,37 +298,37 @@ def _make_composite_kernel(NP, Pn, Qn, nv, C, ncoeff, relu_sigma, with_diffuse):
 
 
 def composite_positions(t1, rvt, ybasis, live_u, live_v, norm, geom, statics,
-                        Pn, Qn):
+                        Pn, Qn, PB, Pb):
     """Run the fused composite kernel over the position stack.
 
-    t1 [NP, C*Pn, nv] bf16, rvt [NP, nv, Qn] bf16, ybasis [ncoeff*Pn, Qn] f32,
-    live_u [NP, Pn, 1] f32, live_v [NP, 1, Qn] f32, norm [Pn, Qn] f32,
-    geom [NP, 8] f32 (s_j, cell_step). Returns [SROWS*Pn, Qn] f32 composited
+    t1 [NP, C, Pn, nv] bf16, rvt [NP, nv, Qn] bf16, ybasis [ncoeff, Pn, Qn]
+    f32, live_u [NP, Pn, 1] f32, live_v [NP, 1, Qn] f32, norm [Pn, Qn] f32,
+    geom [NP, 8] f32 (s_j, cell_step). Returns [SROWS, Pn, Qn] f32 composited
     state: rows (T, colour rgb, acc, depth[, diffuse rgb])."""
     NP = t1.shape[0]
-    nv = t1.shape[2]
+    nv = t1.shape[3]
     C = _padded_channels(statics)
     kernel, SROWS, PROWS = _make_composite_kernel(
-        NP, Pn, Qn, nv, C, statics.ncoeff, statics.relu_sigma,
+        NP, Pb, Qn, nv, C, statics.ncoeff, statics.relu_sigma,
         statics.with_diffuse,
     )
     return pl.pallas_call(
         kernel,
-        grid=(NP,),
+        grid=(PB, NP),
         in_specs=[
-            pl.BlockSpec((NP, 8), lambda t: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, C * Pn, nv), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, nv, Qn), lambda t: (t, 0, 0)),
-            pl.BlockSpec((statics.ncoeff * Pn, Qn), lambda t: (0, 0)),
-            pl.BlockSpec((1, Pn, 1), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, 1, Qn), lambda t: (t, 0, 0)),
-            pl.BlockSpec((Pn, Qn), lambda t: (0, 0)),
+            pl.BlockSpec((NP, 8), lambda pb, t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, C, Pb, nv), lambda pb, t: (t, 0, pb, 0)),
+            pl.BlockSpec((1, nv, Qn), lambda pb, t: (t, 0, 0)),
+            pl.BlockSpec((statics.ncoeff, Pb, Qn), lambda pb, t: (0, pb, 0)),
+            pl.BlockSpec((1, Pb, 1), lambda pb, t: (t, pb, 0)),
+            pl.BlockSpec((1, 1, Qn), lambda pb, t: (t, 0, 0)),
+            pl.BlockSpec((Pb, Qn), lambda pb, t: (pb, 0)),
         ],
-        out_specs=pl.BlockSpec((SROWS * Pn, Qn), lambda t: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((SROWS * Pn, Qn), jnp.float32),
+        out_specs=pl.BlockSpec((SROWS, Pb, Qn), lambda pb, t: (0, pb, 0)),
+        out_shape=jax.ShapeDtypeStruct((SROWS, Pn, Qn), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((PROWS * Pn, Qn), jnp.float32),
-            pltpu.VMEM((SROWS * Pn, Qn), jnp.float32),
+            pltpu.VMEM((PROWS, Pb, Qn), jnp.float32),
+            pltpu.VMEM((SROWS, Pb, Qn), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
@@ -318,7 +341,7 @@ def composite_positions(t1, rvt, ybasis, live_u, live_v, norm, geom, statics,
 
 
 def _ybasis_rows(x_, y_, z_, ncoeff, Pn, Qn):
-    """SH basis values of the texel directions, stacked [ncoeff*Pn, Qn]."""
+    """SH basis values of the texel directions, stacked [ncoeff, Pn, Qn]."""
     rows = [_C0 * jnp.ones((Pn, Qn), jnp.float32)]
     if ncoeff > 1:
         rows += [-_C1 * y_, _C1 * z_, -_C1 * x_]
@@ -330,7 +353,18 @@ def _ybasis_rows(x_, y_, z_, ncoeff, Pn, Qn):
             _C2[3] * x_ * z_,
             _C2[4] * (x_ * x_ - y_ * y_),
         ]
-    return jnp.concatenate(rows, axis=0)
+    if ncoeff > 9:
+        xx, yy, zz = x_ * x_, y_ * y_, z_ * z_
+        rows += [
+            _C3[0] * y_ * (3.0 * xx - yy),
+            _C3[1] * x_ * y_ * z_,
+            _C3[2] * y_ * (4.0 * zz - xx - yy),
+            _C3[3] * z_ * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+            _C3[4] * x_ * (4.0 * zz - xx - yy),
+            _C3[5] * z_ * (xx - yy),
+            _C3[6] * x_ * (xx - 3.0 * yy),
+        ]
+    return jnp.stack(rows, axis=0)
 
 
 @partial(jax.jit, static_argnames=("statics", "height", "width", "supersample"))
@@ -344,7 +378,7 @@ def _march_gnomonic(
     focal,
     supersample: float,
 ):
-    """Resample + composite in gnomonic space. Returns (state [SROWS*Pn, Qn],
+    """Resample + composite in gnomonic space. Returns (state [SROWS, Pn, Qn],
     x-range, y-range) — everything needed by the warp."""
     axis = statics.axis
     u_ax, v_ax = _uv_axes(axis)
@@ -352,7 +386,7 @@ def _march_gnomonic(
     P = statics.pos_per_cell
     aabb, dims = statics.aabb, statics.dims
     NP, nu, C, nv = slices.shape
-    Pn, Qn = gnomonic_frame(None, height, width, focal, supersample, statics)
+    Pn, Qn, PB, Pb = gnomonic_frame(None, height, width, focal, supersample, statics)
     lo_a, hi_a = aabb[axis]
     cell_a = (hi_a - lo_a) / dims[axis]
     su = dims[u_ax] / (aabb[u_ax][1] - aabb[u_ax][0])
@@ -395,13 +429,13 @@ def _march_gnomonic(
     ).astype(jnp.float32)[..., None]
     live_v = ((V >= -0.5) & (V <= nv - 0.5)).astype(jnp.float32)[:, None, :]
 
-    # u-resample, batched over positions (XLA/MXU): [NP, C*Pn, nv] bf16
+    # u-resample, batched over positions (XLA/MXU): [NP, C, Pn, nv] bf16
     t1 = jnp.einsum(
         "jpu,jucv->jcpv",
         Ru,
         slices.astype(jnp.bfloat16),
         preferred_element_type=jnp.bfloat16,
-    ).reshape(NP, C * Pn, nv)
+    )
 
     cell_step = jnp.full((NP,), cell_a / P, jnp.float32)
     geom = jnp.stack(
@@ -409,7 +443,7 @@ def _march_gnomonic(
     )  # [NP, 8]
 
     state = composite_positions(
-        t1, RvT, ybasis, live_u, live_v, norm, geom, statics, Pn, Qn
+        t1, RvT, ybasis, live_u, live_v, norm, geom, statics, Pn, Qn, PB, Pb
     )
     return state, (x0, x1), (y0, y1)
 
@@ -417,7 +451,7 @@ def _march_gnomonic(
 @partial(jax.jit, static_argnames=("statics", "height", "width", "supersample",
                                    "white_bkgd"))
 def _warp_to_camera(
-    state,  # [SROWS*Pn, Qn] composited gnomonic state
+    state,  # [SROWS, Pn, Qn] composited gnomonic state
     xr,
     yr,
     rotation,
@@ -431,17 +465,12 @@ def _warp_to_camera(
     axis = statics.axis
     u_ax, v_ax = _uv_axes(axis)
     g = -1.0 if statics.flip else 1.0
-    Pn, Qn = gnomonic_frame(None, height, width, focal, supersample, statics)
+    Pn, Qn, _PB, _Pb = gnomonic_frame(None, height, width, focal, supersample, statics)
     x0, x1 = xr
     y0, y1 = yr
     nch = 8 if statics.with_diffuse else 5
     # channels: colR, colG, colB, acc, dep (, difR, difG, difB)
-    chans = [state[(1 + c) * Pn:(2 + c) * Pn] for c in range(3)]
-    chans.append(state[4 * Pn:5 * Pn])
-    chans.append(state[5 * Pn:6 * Pn])
-    if statics.with_diffuse:
-        chans += [state[(6 + c) * Pn:(7 + c) * Pn] for c in range(3)]
-    src = jnp.stack(chans, axis=-1)  # [Pn, Qn, nch]
+    src = jnp.moveaxis(state, 0, -1)[..., 1:1 + nch]  # [Pn, Qn, nch]
 
     px = jnp.arange(width, dtype=jnp.float32) + 0.5
     py = jnp.arange(height, dtype=jnp.float32) + 0.5
