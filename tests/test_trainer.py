@@ -125,6 +125,112 @@ def test_train_step_improves_psnr(synthetic_data):
     assert final_psnr > 20.0, f"final PSNR too low: {final_psnr:.2f}"
 
 
+def test_bricked_use_mesh_dispatches_mesh_step(tmp_path, synthetic_data, monkeypatch):
+    """use_mesh=True with the bricked (default) procedure must actually run the
+    sharded tiles x depth-segments step, not silently train single-device
+    (round-2 advisor finding: trainer.py ignored use_mesh on the bricked path)."""
+    import json
+
+    import imageio.v2 as imageio
+
+    import thr3ed_atom_tpu.modules.bricked_trainer as bt
+    from thr3ed_atom_tpu.data.dataset import PosedImagesDataset
+    from thr3ed_atom_tpu.modules.trainer import (
+        _bricked_mesh_shape,
+        train_sh_vox_grid_vol_mod_with_posed_images,
+    )
+    from thr3ed_atom_tpu.utils.camera import to8b
+    from thr3ed_atom_tpu.utils.constants import (
+        BOUNDS,
+        EXTRINSIC,
+        FOCAL as FOCAL_KEY,
+        HEIGHT,
+        INTRINSIC,
+        ROTATION,
+        TRANSLATION,
+        WIDTH,
+    )
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+
+    images, poses, intrinsics = synthetic_data
+    img_dir = tmp_path / "train"
+    img_dir.mkdir()
+    params = {}
+    for i in range(NUM_IMAGES):
+        name = f"r_{i}.png"
+        imageio.imwrite(img_dir / name, to8b(np.asarray(images[i])))
+        pose = np.asarray(poses[i])
+        params[name] = {
+            INTRINSIC: {
+                BOUNDS: [2.0, 6.0],
+                HEIGHT: IMAGE_SIZE,
+                WIDTH: IMAGE_SIZE,
+                FOCAL_KEY: FOCAL,
+            },
+            EXTRINSIC: {
+                ROTATION: pose[:, :3].tolist(),
+                TRANSLATION: pose[:, 3:].tolist(),
+            },
+        }
+    with open(tmp_path / "train_camera_params.json", "w") as f:
+        json.dump(params, f)
+    dataset = PosedImagesDataset(
+        images_dir=img_dir,
+        camera_params_json=tmp_path / "train_camera_params.json",
+    )
+
+    grid, render_config = _fresh_model()
+    vol_mod = VolumetricModel(
+        grid,
+        render_config=render_config,
+        render_procedure="render_sh_voxel_grid_bricked",
+    )
+
+    mesh_calls = []
+    real_mesh_step = bt.bricked_train_step_mesh
+
+    def counting_mesh_step(statics, tx, mesh_shape, *args, **kwargs):
+        mesh_calls.append(mesh_shape)
+        return real_mesh_step(statics, tx, mesh_shape, *args, **kwargs)
+
+    monkeypatch.setattr(bt, "bricked_train_step_mesh", counting_mesh_step)
+
+    train_sh_vox_grid_vol_mod_with_posed_images(
+        vol_mod=vol_mod,
+        train_dataset=dataset,
+        output_dir=tmp_path / "output",
+        ray_batch_size=512,
+        num_stages=1,
+        num_iterations_per_stage=3,
+        learning_rate=0.05,
+        save_freq=1000,
+        test_freq=1000,
+        feedback_freq=1000,
+        summary_freq=10,
+        fast_debug_mode=True,
+        verbose_rendering=False,
+        use_mesh=True,
+    )
+
+    assert mesh_calls, "use_mesh=True never reached bricked_train_step_mesh"
+    dp, mp = mesh_calls[0]
+    assert dp * mp > 1, f"mesh shape {mesh_calls[0]} is single-device"
+    assert np.isfinite(np.asarray(vol_mod.thre3d_repr.densities)).all()
+
+    # shape picker sanity: the chosen shape always satisfies divisibility
+    for num_tiles, n_dev, _expect_dp in ((8, 8, 8), (4, 8, 4), (3, 8, 1)):
+        b = bt.make_bricked_train_statics(
+            grid, 0, False, image_height=IMAGE_SIZE, image_width=IMAGE_SIZE,
+            focal=FOCAL, ray_batch_size=num_tiles * 64, white_bkgd=True,
+            interpret=True,
+        )
+        if b.num_tiles == num_tiles:
+            dp, mp = _bricked_mesh_shape(b, n_dev, 1)
+            assert b.num_tiles % dp == 0 and n_dev % mp == 0
+
+
 def test_train_step_metrics_structure(synthetic_data):
     images, poses, intrinsics = synthetic_data
     grid, render_config = _fresh_model()

@@ -239,6 +239,34 @@ def load_optimizer_state(model_path: Path, template):
     )
 
 
+def _bricked_mesh_shape(b_statics, n_dev: int, model_parallel: int):
+    """(data_parallel, model_parallel) for bricked_train_step_mesh over n_dev
+    devices: tiles shard over "data", depth segments over "model". Pure tile
+    parallelism is preferred (depth segments forfeit per-segment early exit and
+    replicate the repack); an explicit model_parallel > 1 request is honored
+    first when divisibility allows."""
+    from thr3ed_atom_tpu.rendering.bricked import _slab_geometry
+
+    num_groups = _slab_geometry(b_statics.bricked)[3]
+    num_tiles = b_statics.num_tiles
+    if model_parallel > 1:
+        dp = n_dev // model_parallel
+        if dp >= 1 and num_groups % model_parallel == 0 and num_tiles % dp == 0:
+            return dp, model_parallel
+    # maximize devices used; among equal totals prefer the largest tile (data)
+    # axis — a shape may use fewer than n_dev devices (the mesh step builds its
+    # mesh over dp*mp devices only)
+    best = (1, 1)
+    for total in range(n_dev, 1, -1):
+        for mp in range(1, total + 1):
+            if total % mp or num_groups % mp:
+                continue
+            dp = total // mp
+            if num_tiles % dp == 0:
+                return dp, mp
+    return best
+
+
 # ------------------------------------------------------------------------- procedure
 
 
@@ -447,6 +475,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
         if use_bricked:
             from thr3ed_atom_tpu.modules.bricked_trainer import (
                 bricked_train_step,
+                bricked_train_step_mesh,
                 make_bricked_train_statics,
             )
             from thr3ed_atom_tpu.rendering.bricked import dominant_axis_for_pose
@@ -467,6 +496,11 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                 [len(variant_buckets[v]) for v in bucket_variants], np.float64
             )
             bucket_weights /= bucket_weights.sum()
+            if use_mesh:
+                log.info(
+                    f"bricked mesh training over {jax.device_count()} devices "
+                    "(tiles x depth-segments)"
+                )
 
         log.info(
             f"training stage: {stage}   voxel grid resolution: {grid.grid_dims} "
@@ -517,10 +551,19 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                     pose_picker.choice(bucket, size=b_statics.num_tiles),
                     jnp.int32,
                 )
-                grid, opt_state, metrics = bricked_train_step(
-                    b_statics, tx, grid, opt_state, images, poses,
-                    tile_pose_idx, step_key,
-                )
+                if use_mesh and jax.device_count() > 1:
+                    mesh_shape = _bricked_mesh_shape(
+                        b_statics, jax.device_count(), 1
+                    )
+                    grid, opt_state, metrics = bricked_train_step_mesh(
+                        b_statics, tx, mesh_shape, grid, opt_state, images,
+                        poses, tile_pose_idx, step_key,
+                    )
+                else:
+                    grid, opt_state, metrics = bricked_train_step(
+                        b_statics, tx, grid, opt_state, images, poses,
+                        tile_pose_idx, step_key,
+                    )
             else:
                 grid, opt_state, metrics = _train_step(
                     statics, tx, grid, opt_state, images, poses, step_key

@@ -367,26 +367,42 @@ def _ybasis_rows(x_, y_, z_, ncoeff, Pn, Qn):
     return jnp.stack(rows, axis=0)
 
 
-@partial(jax.jit, static_argnames=("statics", "height", "width", "supersample"))
-def _march_gnomonic(
-    slices,  # [NP, nu, C, nv] f32 (repacked position slices)
-    rotation,  # [3, 3] f32
-    origin,  # [3] f32
-    statics: GnomonicStatics,
-    height: int,
-    width: int,
-    focal,
-    supersample: float,
-):
-    """Resample + composite in gnomonic space. Returns (state [SROWS, Pn, Qn],
-    x-range, y-range) — everything needed by the warp."""
+class GnomonicGeometry(NamedTuple):
+    """Per-pose, grid-independent resample/composite operands (all constants
+    wrt the grid parameters — the training path stops gradients through it)."""
+
+    Ru: jnp.ndarray  # [NP, Pn, nu] bf16 u-axis tent weights
+    RvT: jnp.ndarray  # [NP, nv, Qn] bf16 v-axis tent weights (transposed)
+    ybasis: jnp.ndarray  # [ncoeff, Pn, Qn] f32
+    live_u: jnp.ndarray  # [NP, Pn, 1] f32
+    live_v: jnp.ndarray  # [NP, 1, Qn] f32
+    norm: jnp.ndarray  # [Pn, Qn] f32
+    geom: jnp.ndarray  # [NP, 8] f32 (s_j, cell_step)
+    xr: Tuple[jnp.ndarray, jnp.ndarray]
+    yr: Tuple[jnp.ndarray, jnp.ndarray]
+
+
+def gnomonic_geometry(
+    rotation, origin, statics: GnomonicStatics, height: int, width: int,
+    focal, supersample: float, frame: Optional[Tuple[int, int]] = None,
+) -> GnomonicGeometry:
+    """All pose-dependent operands of the gnomonic march (in-jit, dynamic).
+    ``frame`` overrides (Pn, Qn) — the training pipeline uses backward-sized
+    blocking (gnomonic_train.gnomonic_frame_train)."""
     axis = statics.axis
     u_ax, v_ax = _uv_axes(axis)
     g = -1.0 if statics.flip else 1.0
     P = statics.pos_per_cell
     aabb, dims = statics.aabb, statics.dims
-    NP, nu, C, nv = slices.shape
-    Pn, Qn, PB, Pb = gnomonic_frame(None, height, width, focal, supersample, statics)
+    NP = _num_positions(statics)
+    nu = dims[u_ax]
+    nv = dims[v_ax]
+    if frame is not None:
+        Pn, Qn = frame
+    else:
+        Pn, Qn, _PB, _Pb = gnomonic_frame(
+            None, height, width, focal, supersample, statics
+        )
     lo_a, hi_a = aabb[axis]
     cell_a = (hi_a - lo_a) / dims[axis]
     su = dims[u_ax] / (aabb[u_ax][1] - aabb[u_ax][0])
@@ -429,27 +445,53 @@ def _march_gnomonic(
     ).astype(jnp.float32)[..., None]
     live_v = ((V >= -0.5) & (V <= nv - 0.5)).astype(jnp.float32)[:, None, :]
 
-    # u-resample, batched over positions (XLA/MXU): [NP, C, Pn, nv] bf16
-    t1 = jnp.einsum(
+    cell_step = jnp.full((NP,), cell_a / P, jnp.float32)
+    geom = jnp.stack(
+        [s_j, cell_step] + [jnp.zeros_like(s_j)] * 6, axis=-1
+    )  # [NP, 8]
+    return GnomonicGeometry(
+        Ru=Ru, RvT=RvT, ybasis=ybasis, live_u=live_u, live_v=live_v,
+        norm=norm, geom=geom, xr=(x0, x1), yr=(y0, y1),
+    )
+
+
+def resample_u(slices, Ru):
+    """u-resample, batched over positions (XLA/MXU): [NP, C, Pn, nv] bf16."""
+    return jnp.einsum(
         "jpu,jucv->jcpv",
         Ru,
         slices.astype(jnp.bfloat16),
         preferred_element_type=jnp.bfloat16,
     )
 
-    cell_step = jnp.full((NP,), cell_a / P, jnp.float32)
-    geom = jnp.stack(
-        [s_j, cell_step] + [jnp.zeros_like(s_j)] * 6, axis=-1
-    )  # [NP, 8]
 
-    state = composite_positions(
-        t1, RvT, ybasis, live_u, live_v, norm, geom, statics, Pn, Qn, PB, Pb
+@partial(jax.jit, static_argnames=("statics", "height", "width", "supersample"))
+def _march_gnomonic(
+    slices,  # [NP, nu, C, nv] f32 (repacked position slices)
+    rotation,  # [3, 3] f32
+    origin,  # [3] f32
+    statics: GnomonicStatics,
+    height: int,
+    width: int,
+    focal,
+    supersample: float,
+):
+    """Resample + composite in gnomonic space. Returns (state [SROWS, Pn, Qn],
+    x-range, y-range) — everything needed by the warp."""
+    Pn, Qn, PB, Pb = gnomonic_frame(None, height, width, focal, supersample, statics)
+    geo = gnomonic_geometry(
+        rotation, origin, statics, height, width, focal, supersample
     )
-    return state, (x0, x1), (y0, y1)
+    t1 = resample_u(slices, geo.Ru)
+    state = composite_positions(
+        t1, geo.RvT, geo.ybasis, geo.live_u, geo.live_v, geo.norm, geo.geom,
+        statics, Pn, Qn, PB, Pb,
+    )
+    return state, geo.xr, geo.yr
 
 
 @partial(jax.jit, static_argnames=("statics", "height", "width", "supersample",
-                                   "white_bkgd"))
+                                   "white_bkgd", "frame"))
 def _warp_to_camera(
     state,  # [SROWS, Pn, Qn] composited gnomonic state
     xr,
@@ -461,11 +503,17 @@ def _warp_to_camera(
     focal,
     supersample: float,
     white_bkgd: bool,
+    frame: Optional[Tuple[int, int]] = None,
 ):
     axis = statics.axis
     u_ax, v_ax = _uv_axes(axis)
     g = -1.0 if statics.flip else 1.0
-    Pn, Qn, _PB, _Pb = gnomonic_frame(None, height, width, focal, supersample, statics)
+    if frame is not None:
+        Pn, Qn = frame
+    else:
+        Pn, Qn, _PB, _Pb = gnomonic_frame(
+            None, height, width, focal, supersample, statics
+        )
     x0, x1 = xr
     y0, y1 = yr
     nch = 8 if statics.with_diffuse else 5

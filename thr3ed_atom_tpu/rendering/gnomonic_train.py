@@ -1,0 +1,443 @@
+"""Differentiable gnomonic shear-warp pipeline: the round-3 training path.
+
+Training replaces the reference's per-ray-batch autograd
+(thre3d_atom/modules/trainers.py:271-341 driving voxels.py:295-321 double
+grid_sample backward) with whole-pose gradient steps through the gnomonic
+pipeline (rendering/gnomonic.py): repack -> u-resample (XLA einsum, autodiff)
+-> fused composite Pallas kernel (hand-written replay VJP, this module) ->
+projective warp (XLA take, scatter-add adjoint) -> L1 loss on real pixels.
+One step trains every pixel of one training view (H*W rays vs the reference's
+16K ray batch) with the same objective (specular L1 + diffuse L1
+regularization, reference trainers.py:311-330).
+
+Backward kernel design (mirrors ops/pallas/plane_march.py's replay VJP):
+march positions front-to-back a second time, rebuilding transmittance T and
+the running inner-product prefix; the per-cell dL/d(integral) uses the
+division-free suffix form
+
+    dinteg = delta * ((1 - alpha) * T * inner - suffix),
+    suffix = S_total - S_prefix (+ gT * T_final),
+
+with S_total = sum_rows gstate * state computed once outside the kernel. The
+closed-form (dI/da, dI/db) of the relu-trapezoid routes dinteg onto the
+cell's two endpoint positions; colour/diffuse cotangents lerp back with
+(1 - tbar, tbar) with the emission centroid tbar treated as constant (the
+same quadrature-level convention as plane_march.py's VJP). Each position's
+assembled dvals fold back through the SH basis rows and one MXU matmul
+against the untransposed v-tents to produce dt1; XLA's einsum adjoint then
+carries dt1 -> dslices -> d(grid).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from thr3ed_atom_tpu.models.voxels import VoxelGrid
+from thr3ed_atom_tpu.ops.pallas.plane_march import _relu_trap
+from thr3ed_atom_tpu.rendering.gnomonic import (
+    GnomonicStatics,
+    _padded_channels,
+    _sprows,
+    _num_positions,
+    composite_positions,
+    gnomonic_geometry,
+    repack_position_slices,
+    resample_u,
+    statics_for_grid,
+    _warp_to_camera,
+)
+from thr3ed_atom_tpu.utils.metrics import mse2psnr
+
+
+# --------------------------------------------------------------- train blocking
+
+
+def _p_blocking_train(Pn_raw: int, Qn: int, nv: int, C: int, with_diffuse: bool):
+    """u-axis blocking sized for the BACKWARD kernel's VMEM working set (the
+    replay adds dvals, the dt1 output double-buffer and the pending/carry
+    rows on top of the forward's buffers)."""
+    SROWS, PROWS = _sprows(with_diffuse)
+    budget = 88 * 1024 * 1024
+    PB = 1
+    while True:
+        Pb = -(-Pn_raw // (8 * PB)) * 8
+        est = (
+            4 * C * Pb * Qn  # vals f32
+            + 2 * C * Pb * Qn  # dvals bf16
+            + 4 * (SROWS + 2) * Pb * Qn  # gaux block
+            + 4 * (PROWS + (PROWS - 1) + 2) * Pb * Qn  # prev + pend + carry
+            + 4 * 16 * Pb * Qn  # ybasis block (<= 16 rows)
+            + 2 * 2 * C * Pb * nv * 2  # t1 + dt1 double buffers
+        )
+        if est <= budget or PB >= 64:
+            return PB, Pb, PB * Pb
+        PB *= 2
+
+
+def gnomonic_frame_train(height: int, width: int, supersample: float,
+                         statics: GnomonicStatics):
+    """(Pn, Qn, PB, Pb) for the training pipeline (backward-sized blocking)."""
+    import math
+
+    Pn_raw = -(-int(math.ceil(width * supersample)) // 8) * 8
+    Qn = -(-int(math.ceil(height * supersample)) // 128) * 128
+    from thr3ed_atom_tpu.rendering.bricked import _uv_axes
+
+    _, v_ax = _uv_axes(statics.axis)
+    nv = statics.dims[v_ax]
+    C = _padded_channels(statics)
+    PB, Pb, Pn = _p_blocking_train(Pn_raw, Qn, nv, C, statics.with_diffuse)
+    return Pn, Qn, PB, Pb
+
+
+# --------------------------------------------------------------- backward kernel
+
+
+def _make_backward_kernel(NP, Pb, Qn, nv, C, ncoeff, relu_sigma, with_diffuse):
+    """Replay VJP over positions; grid=(PB, NP + 1). Iteration j recomputes
+    position min(j, NP-1) and cell j; position j-1's completed cotangent is
+    folded to dvals and matmul'd to dt1[j-1] (the extra final iteration
+    flushes position NP-1)."""
+    SROWS, PROWS = _sprows(with_diffuse)
+    LROW = PROWS - 1
+    NDM = PROWS - 1  # pending rows: dsig + drgb*3 (+ ddif*3)
+
+    def kernel(geom_ref, t1_ref, rvt_ref, rv_ref, yb_ref, lu_ref, lv_ref,
+               norm_ref, gaux_ref, dt1_ref, prev_ref, pend_ref, carry_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            carry_ref[0] = jnp.ones((Pb, Qn), jnp.float32)  # transmittance
+            carry_ref[1] = jnp.zeros((Pb, Qn), jnp.float32)  # inner prefix
+            pend_ref[...] = jnp.zeros_like(pend_ref)
+
+        # ---- replay position jj = min(j, NP-1) (garbage-masked for j == NP)
+        vals = jnp.dot(
+            t1_ref[0].reshape(C * Pb, nv), rvt_ref[0],
+            preferred_element_type=jnp.float32,
+        )
+        livem = jnp.broadcast_to(lu_ref[0] * lv_ref[0], (Pb, Qn))
+        sig = vals[3 * ncoeff * Pb:(3 * ncoeff + 1) * Pb, :]
+
+        def fold(colour, coeffs):
+            acc = yb_ref[0] * vals[(colour * ncoeff) * Pb:(colour * ncoeff + 1) * Pb]
+            for k in range(1, coeffs):
+                ch = colour * ncoeff + k
+                acc += yb_ref[k] * vals[ch * Pb:(ch + 1) * Pb]
+            return acc
+
+        rgb = [fold(c, ncoeff) for c in range(3)]
+        dif = [fold(c, 1) for c in range(3)] if with_diffuse else []
+
+        cell_on = (j > 0) & (j < NP)
+
+        def m(x):  # mask with select (safe against garbage NaNs at j == 0 / NP)
+            return jnp.where(cell_on, x, jnp.zeros_like(x))
+
+        # ---- recompute cell j forward quantities (between positions j-1, j)
+        sig_a = prev_ref[0]
+        live_pair = prev_ref[LROW] * livem
+        integ_raw, tbar, dIda, dIdb = _relu_trap(sig_a, sig, relu_sigma)
+        integ = integ_raw * live_pair
+        jc = jnp.minimum(j, NP - 1)  # geom_ref is [NP, 8]; j reaches NP
+        cell_step = geom_ref[jc, 1]
+        delta = cell_step * norm_ref[...]
+        e = jnp.exp(-integ * delta)
+        alpha = 1.0 - e
+        T = carry_ref[0]
+        w = m(alpha * T)
+        s_b = geom_ref[jc, 0]
+        s_mid = (s_b - cell_step + tbar * cell_step) * norm_ref[...]
+        tb1 = 1.0 - tbar
+
+        g_col = [gaux_ref[1 + c] for c in range(3)]
+        g_acc = gaux_ref[4]
+        g_dep = gaux_ref[5]
+        g_dif = [gaux_ref[6 + c] for c in range(3)] if with_diffuse else []
+        g_T = gaux_ref[0]
+        S_total = gaux_ref[SROWS]
+        T_fin = gaux_ref[SROWS + 1]
+
+        mids = [jax.nn.sigmoid(tb1 * prev_ref[1 + c] + tbar * rgb[c]) for c in range(3)]
+        inner = g_acc + g_dep * s_mid
+        for c in range(3):
+            inner += g_col[c] * mids[c]
+        if with_diffuse:
+            dmids = [
+                jax.nn.sigmoid(tb1 * prev_ref[4 + c] + tbar * dif[c])
+                for c in range(3)
+            ]
+            for c in range(3):
+                inner += g_dif[c] * dmids[c]
+
+        S_prefix = carry_ref[1] + m(inner * w)
+        suffix = (S_total - S_prefix) + g_T * T_fin
+        # division-free dL/d(integral): delta * ((1-alpha) * T * inner - suffix).
+        # every product is masked AFTER multiplication (0 * NaN from the
+        # uninitialized j==0 prev scratch would otherwise leak)
+        dinteg = delta * (e * T * inner - suffix) * live_pair
+        d_a = m(dinteg * dIda)
+        d_b = m(dinteg * dIdb)
+
+        dmraws = [g_col[c] * w * mids[c] * (1.0 - mids[c]) for c in range(3)]
+        if with_diffuse:
+            ddmraws = [
+                g_dif[c] * w * dmids[c] * (1.0 - dmids[c]) for c in range(3)
+            ]
+
+        # ---- write dt1 for position j-1: pending (b-side of cell j-1) + this
+        # cell's a-side
+        @pl.when(j > 0)
+        def _():
+            dsig_prev = pend_ref[0] + d_a
+            drgb_prev = [pend_ref[1 + c] + m(tb1 * dmraws[c]) for c in range(3)]
+            if with_diffuse:
+                ddif_prev = [
+                    pend_ref[4 + c] + m(tb1 * ddmraws[c]) for c in range(3)
+                ]
+            blocks = []
+            for ch in range(C):
+                if ch < 3 * ncoeff:
+                    c, k = divmod(ch, ncoeff)
+                    blk = yb_ref[k] * drgb_prev[c]
+                    if with_diffuse and k == 0:
+                        blk = blk + yb_ref[0] * ddif_prev[c]
+                elif ch == 3 * ncoeff:
+                    blk = dsig_prev
+                else:
+                    blk = jnp.zeros((Pb, Qn), jnp.float32)
+                blocks.append(blk)
+            dvals = jnp.concatenate(blocks, axis=0)  # [C*Pb, Qn]
+            dt1 = jnp.dot(
+                dvals.astype(jnp.bfloat16), rv_ref[0],
+                preferred_element_type=jnp.float32,
+            )  # [C*Pb, nv]
+            dt1_ref[...] = dt1.reshape(1, C, Pb, nv).astype(jnp.bfloat16)
+
+        # ---- roll pending to this position's b-side; advance carries
+        pend_ref[0] = d_b
+        for c in range(3):
+            pend_ref[1 + c] = m(tbar * dmraws[c])
+        if with_diffuse:
+            for c in range(3):
+                pend_ref[4 + c] = m(tbar * ddmraws[c])
+        carry_ref[0] = jnp.where(cell_on, T * (1.0 - alpha), T)
+        carry_ref[1] = jnp.where(cell_on, S_prefix, carry_ref[1])
+
+        # ---- store position values for the next cell
+        prev_ref[0] = sig
+        for c in range(3):
+            prev_ref[1 + c] = rgb[c]
+        if with_diffuse:
+            for c in range(3):
+                prev_ref[4 + c] = dif[c]
+        prev_ref[LROW] = livem
+
+    return kernel, SROWS, NDM
+
+
+def _composite_backward(t1, rvt, rv, ybasis, live_u, live_v, norm, geom, gaux,
+                        statics, Pn, Qn, PB, Pb):
+    NP = t1.shape[0]
+    nv = t1.shape[3]
+    C = _padded_channels(statics)
+    kernel, SROWS, NDM = _make_backward_kernel(
+        NP, Pb, Qn, nv, C, statics.ncoeff, statics.relu_sigma,
+        statics.with_diffuse,
+    )
+    PROWS = _sprows(statics.with_diffuse)[1]
+    last = NP - 1
+    return pl.pallas_call(
+        kernel,
+        grid=(PB, NP + 1),
+        in_specs=[
+            pl.BlockSpec((NP, 8), lambda pb, t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, C, Pb, nv), lambda pb, t: (jnp.minimum(t, last), 0, pb, 0)
+            ),
+            pl.BlockSpec((1, nv, Qn), lambda pb, t: (jnp.minimum(t, last), 0, 0)),
+            # rv pairs with the dt1 OUTPUT position (j - 1), not the replayed
+            # position j: iteration j folds position j-1's finished cotangent
+            pl.BlockSpec((1, Qn, nv), lambda pb, t: (jnp.maximum(t - 1, 0), 0, 0)),
+            pl.BlockSpec((statics.ncoeff, Pb, Qn), lambda pb, t: (0, pb, 0)),
+            pl.BlockSpec((1, Pb, 1), lambda pb, t: (jnp.minimum(t, last), pb, 0)),
+            pl.BlockSpec((1, 1, Qn), lambda pb, t: (jnp.minimum(t, last), 0, 0)),
+            pl.BlockSpec((Pb, Qn), lambda pb, t: (pb, 0)),
+            pl.BlockSpec((SROWS + 2, Pb, Qn), lambda pb, t: (0, pb, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, C, Pb, nv), lambda pb, t: (jnp.maximum(t - 1, 0), 0, pb, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((NP, C, Pn, nv), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((PROWS, Pb, Qn), jnp.float32),
+            pltpu.VMEM((NDM, Pb, Qn), jnp.float32),
+            pltpu.VMEM((2, Pb, Qn), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+        interpret=statics.interpret,
+    )(geom, t1, rvt, rv, ybasis, live_u, live_v, norm, gaux)
+
+
+# --------------------------------------------------------------- custom VJP
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def composite_positions_diff(t1, rvt, rv, ybasis, live_u, live_v, norm, geom,
+                             statics: GnomonicStatics, Pn, Qn, PB, Pb):
+    """composite_positions with a hand-written replay VJP wrt t1 (the only
+    grid-dependent input; every other operand is pose geometry)."""
+    return composite_positions(
+        t1, rvt, ybasis, live_u, live_v, norm, geom, statics, Pn, Qn, PB, Pb
+    )
+
+
+def _cp_fwd(t1, rvt, rv, ybasis, live_u, live_v, norm, geom,
+            statics, Pn, Qn, PB, Pb):
+    state = composite_positions(
+        t1, rvt, ybasis, live_u, live_v, norm, geom, statics, Pn, Qn, PB, Pb
+    )
+    return state, (t1, rvt, rv, ybasis, live_u, live_v, norm, geom, state)
+
+
+def _cp_bwd(statics, Pn, Qn, PB, Pb, res, gstate):
+    t1, rvt, rv, ybasis, live_u, live_v, norm, geom, state = res
+    # S_total = sum_k G_k w_k over every payload row (colour, acc, depth,
+    # diffuse) — an elementwise inner product of the forward output with its
+    # cotangent, per texel
+    S_total = jnp.sum(gstate[1:] * state[1:], axis=0)
+    gaux = jnp.concatenate([gstate, S_total[None], state[0:1]], axis=0)
+    dt1 = _composite_backward(
+        t1, rvt, rv, ybasis, live_u, live_v, norm, geom, gaux,
+        statics, Pn, Qn, PB, Pb,
+    )
+    z = jnp.zeros_like
+    return (dt1, z(rvt), z(rv), z(ybasis), z(live_u), z(live_v), z(norm), z(geom))
+
+
+composite_positions_diff.defvjp(_cp_fwd, _cp_bwd)
+
+
+# --------------------------------------------------------------- train step
+
+
+class GnomonicTrainStatics(NamedTuple):
+    """Hashable statics of one compiled gnomonic train-step program (one per
+    march-axis variant per stage)."""
+
+    statics: GnomonicStatics
+    height: int
+    width: int
+    supersample: float
+    white_bkgd: bool
+    apply_diffuse_render_regularization: bool
+    frame: Tuple[int, int, int, int]  # Pn, Qn, PB, Pb
+
+
+def make_gnomonic_train_statics(
+    voxel_grid: VoxelGrid,
+    axis: int,
+    flip: bool,
+    *,
+    image_height: int,
+    image_width: int,
+    white_bkgd: bool,
+    apply_diffuse_render_regularization: bool = True,
+    pos_per_cell: int = 0,
+    supersample: float = 1.25,
+    interpret: bool = False,
+) -> GnomonicTrainStatics:
+    statics = statics_for_grid(
+        voxel_grid, axis, flip,
+        with_diffuse=apply_diffuse_render_regularization,
+        pos_per_cell=pos_per_cell, interpret=interpret,
+    )
+    frame = gnomonic_frame_train(image_height, image_width, supersample, statics)
+    return GnomonicTrainStatics(
+        statics=statics,
+        height=int(image_height),
+        width=int(image_width),
+        supersample=float(supersample),
+        white_bkgd=bool(white_bkgd),
+        apply_diffuse_render_regularization=bool(
+            apply_diffuse_render_regularization
+        ),
+        frame=frame,
+    )
+
+
+def render_pose_diff(voxel_grid: VoxelGrid, rotation, origin, focal,
+                     tstat: GnomonicTrainStatics):
+    """Differentiable whole-pose render through the gnomonic pipeline.
+    Returns the warped RenderOut (colour [H, W, 3] + extra)."""
+    statics = tstat.statics
+    Pn, Qn, PB, Pb = tstat.frame
+    geo = jax.lax.stop_gradient(
+        gnomonic_geometry(
+            rotation, origin, statics, tstat.height, tstat.width, focal,
+            tstat.supersample, frame=(Pn, Qn),
+        )
+    )
+    rv = jnp.swapaxes(geo.RvT, 1, 2)
+    slices = repack_position_slices(voxel_grid, statics)
+    t1 = resample_u(slices, geo.Ru)
+    state = composite_positions_diff(
+        t1, geo.RvT, rv, geo.ybasis, geo.live_u, geo.live_v, geo.norm,
+        geo.geom, statics, Pn, Qn, PB, Pb,
+    )
+    return _warp_to_camera(
+        state, geo.xr, geo.yr, rotation, statics, tstat.height, tstat.width,
+        focal, tstat.supersample, tstat.white_bkgd, frame=(Pn, Qn),
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3))
+def gnomonic_train_step(
+    tstat: GnomonicTrainStatics,
+    tx: optax.GradientTransformation,
+    grid: VoxelGrid,
+    opt_state,
+    image: jnp.ndarray,  # [H, W, 3] f32 ground-truth pixels
+    rotation: jnp.ndarray,  # [3, 3]
+    origin: jnp.ndarray,  # [3]
+    focal: jnp.ndarray,  # scalar
+):
+    """One whole-pose optimization step (same objective as the reference
+    trainer: specular L1 + optional diffuse L1, trainers.py:311-330)."""
+
+    def loss_fn(g: VoxelGrid):
+        out = render_pose_diff(g, rotation, origin, focal, tstat)
+        colour = out.colour
+        specular_loss = jnp.mean(jnp.abs(colour - image))
+        specular_mse = jnp.mean((colour - image) ** 2)
+        total = specular_loss
+        aux = {
+            "specular_loss": specular_loss,
+            "specular_psnr": mse2psnr(specular_mse),
+        }
+        if tstat.apply_diffuse_render_regularization:
+            diffuse = out.extra["diffuse_colour"]
+            diffuse_loss = jnp.mean(jnp.abs(diffuse - image))
+            diffuse_mse = jnp.mean((diffuse - image) ** 2)
+            total = total + diffuse_loss
+            aux |= {
+                "diffuse_loss": diffuse_loss,
+                "diffuse_psnr": mse2psnr(diffuse_mse),
+            }
+        aux["total_loss"] = total
+        return total, aux
+
+    (_loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(grid)
+    updates, opt_state = tx.update(grads, opt_state, grid)
+    grid = optax.apply_updates(grid, updates)
+    return grid, opt_state, metrics
