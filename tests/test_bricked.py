@@ -235,6 +235,35 @@ def test_volumetric_model_dispatches_bricked(key):
     assert len(vol_mod._image_render_cache) == 1
 
 
+def test_bricked_flat_ray_batches_route_to_fast(key):
+    """Arbitrary [N,3] ray sets through the bricked procedure (reference
+    render_interface.py:103-134 API uniformity): served via the explicit
+    fast-path switch, identical to calling the fast procedure directly."""
+    from thr3ed_atom_tpu.modules.volumetric_model import VolumetricModel
+    from thr3ed_atom_tpu.rendering.fast_renderer import render_sh_voxel_grid_fast
+    from thr3ed_atom_tpu.rendering.interface import Rays
+
+    grid = _make_grid(key)
+    config = _config()
+    rng = np.random.default_rng(1)
+    origins = jnp.asarray(rng.normal(0, 0.2, (32, 3)) + [0, 0, 4.0], jnp.float32)
+    dirs = jnp.asarray(rng.normal(0, 0.3, (32, 3)) + [0, 0, -1.0], jnp.float32)
+    rays = Rays(origins=origins, directions=dirs)
+
+    vol_mod = VolumetricModel(
+        grid,
+        render_procedure="render_sh_voxel_grid_bricked",
+        render_config=config,
+    )
+    out = vol_mod.render_rays(rays)
+    ref = render_sh_voxel_grid_fast(grid, rays, config.replace(
+        perturb_sampled_points=config.perturb_sampled_points))
+    np.testing.assert_allclose(
+        np.asarray(out.colour), np.asarray(ref.colour), atol=1e-6
+    )
+    assert np.isfinite(np.asarray(out.depth)).all()
+
+
 def test_diagonal_pose_with_overflow_splitting(key):
     """A near-diagonal pose (per-ray slopes |du/dslab| ~ 3) exercises the
     half/single-slab entry splitting; parity vs the oracle must hold."""

@@ -234,10 +234,22 @@ def test_registered_procedure_and_volmod_dispatch(key):
     # repack cache reused on second render of the same axis variant
     out2 = vm.render(pose, intr)
     assert np.allclose(np.asarray(out.colour), np.asarray(out2.colour))
-    with pytest.raises(NotImplementedError):
-        from thr3ed_atom_tpu.rendering.renderer import RENDER_PROCEDURES
+    # arbitrary flat ray sets route through the fast procedure (explicit,
+    # logged switch — reference render_interface.py:103-134 API uniformity)
+    from thr3ed_atom_tpu.rendering.fast_renderer import render_sh_voxel_grid_fast
+    from thr3ed_atom_tpu.rendering.interface import Rays
+    from thr3ed_atom_tpu.rendering.renderer import RENDER_PROCEDURES
 
-        RENDER_PROCEDURES["render_sh_voxel_grid_gnomonic"](grid, None, None)
+    rng = np.random.default_rng(0)
+    origins = jnp.asarray(rng.normal(0, 0.1, (16, 3)) + [0, 0, 4.0], jnp.float32)
+    dirs = jnp.asarray(rng.normal(0, 0.2, (16, 3)) + [0, 0, -1.0], jnp.float32)
+    rays = Rays(origins=origins, directions=dirs)
+    cfg = _config(white_bkgd=True, perturb_sampled_points=False)
+    out_flat = RENDER_PROCEDURES["render_sh_voxel_grid_gnomonic"](grid, rays, cfg)
+    out_fast = render_sh_voxel_grid_fast(grid, rays, cfg)
+    np.testing.assert_allclose(
+        np.asarray(out_flat.colour), np.asarray(out_fast.colour), atol=1e-6
+    )
 
 
 def test_gnomonic_degree3_matches_oracle(key):

@@ -744,20 +744,32 @@ def render_image_bricked(
 
 
 class _BrickedProcedure:
-    """RENDER_PROCEDURES entry: bricked rendering is pose-structured, so the flat-ray
-    call signature cannot apply — VolumetricModel.render dispatches to render_image
-    (and the tile-based trainer drives the kernel directly)."""
+    """RENDER_PROCEDURES entry: bricked rendering is pose-structured — whole-pose
+    renders go through render_image (VolumetricModel.render dispatches there, and
+    the tile-based trainer drives the kernel directly). Arbitrary flat ray sets
+    (reference render_interface.py:103-134 semantics) are served by an explicit,
+    logged switch to the fast two-phase procedure, which shares the grid's
+    activation/SH conventions exactly."""
 
     prepare = None
     render_image = staticmethod(render_image_bricked)
+    _warned_flat_rays = False
 
     def __call__(self, voxel_grid, rays, render_config, key=None, prepared=None):
-        raise NotImplementedError(
-            "render_sh_voxel_grid_bricked renders whole camera poses, not flat ray "
-            "batches; call VolumetricModel.render(pose, intrinsics) (which dispatches "
-            "to rendering.bricked.render_image_bricked) or use "
-            "render_sh_voxel_grid_fast for arbitrary ray sets."
+        from thr3ed_atom_tpu.rendering.fast_renderer import (
+            render_sh_voxel_grid_fast,
         )
+        from thr3ed_atom_tpu.utils.logging import log
+
+        if not _BrickedProcedure._warned_flat_rays:
+            log.info(
+                "render_sh_voxel_grid_bricked: flat ray batch requested; the "
+                "slab-march kernel is pose-structured, routing these rays "
+                "through render_sh_voxel_grid_fast (whole-pose renders keep "
+                "the bricked kernel)"
+            )
+            _BrickedProcedure._warned_flat_rays = True
+        return render_sh_voxel_grid_fast(voxel_grid, rays, render_config, key)
 
 
 render_sh_voxel_grid_bricked = _BrickedProcedure()

@@ -643,18 +643,31 @@ def render_image_gnomonic(
 
 
 class _GnomonicProcedure:
-    """RENDER_PROCEDURES entry: gnomonic rendering is pose-structured; the
-    flat-ray call signature dispatches via VolumetricModel.render."""
+    """RENDER_PROCEDURES entry: gnomonic rendering is pose-structured — whole
+    camera poses go through render_image (VolumetricModel.render dispatches
+    there). Arbitrary flat ray sets (reference render_interface.py:103-134
+    semantics) are served by an explicit, logged switch to the fast two-phase
+    procedure, which shares the grid's activation/SH conventions exactly."""
 
     prepare = None
     render_image = staticmethod(render_image_gnomonic)
+    _warned_flat_rays = False
 
     def __call__(self, voxel_grid, rays, render_config, key=None, prepared=None):
-        raise NotImplementedError(
-            "render_sh_voxel_grid_gnomonic renders whole camera poses, not flat "
-            "ray batches; call VolumetricModel.render(pose, intrinsics) or use "
-            "render_sh_voxel_grid_fast for arbitrary ray sets."
+        from thr3ed_atom_tpu.rendering.fast_renderer import (
+            render_sh_voxel_grid_fast,
         )
+        from thr3ed_atom_tpu.utils.logging import log
+
+        if not _GnomonicProcedure._warned_flat_rays:
+            log.info(
+                "render_sh_voxel_grid_gnomonic: flat ray batch requested; the "
+                "shear-warp pipeline is pose-structured, routing these rays "
+                "through render_sh_voxel_grid_fast (whole-pose renders keep "
+                "the gnomonic pipeline)"
+            )
+            _GnomonicProcedure._warned_flat_rays = True
+        return render_sh_voxel_grid_fast(voxel_grid, rays, render_config, key)
 
 
 render_sh_voxel_grid_gnomonic = _GnomonicProcedure()

@@ -647,18 +647,30 @@ def render_image_planes(
 
 
 class _PlanesProcedure:
-    """RENDER_PROCEDURES entry: plane-march rendering is pose-structured; the
-    flat-ray call signature dispatches via VolumetricModel.render (see bricked)."""
+    """RENDER_PROCEDURES entry: plane-march rendering is pose-structured —
+    whole poses dispatch via VolumetricModel.render to render_image. Arbitrary
+    flat ray sets are served by an explicit, logged switch to the fast
+    two-phase procedure (see bricked; reference render_interface.py:103-134)."""
 
     prepare = None
     render_image = staticmethod(render_image_planes)
+    _warned_flat_rays = False
 
     def __call__(self, voxel_grid, rays, render_config, key=None, prepared=None):
-        raise NotImplementedError(
-            "render_sh_voxel_grid_planes renders whole camera poses, not flat ray "
-            "batches; call VolumetricModel.render(pose, intrinsics) or use "
-            "render_sh_voxel_grid_fast for arbitrary ray sets."
+        from thr3ed_atom_tpu.rendering.fast_renderer import (
+            render_sh_voxel_grid_fast,
         )
+        from thr3ed_atom_tpu.utils.logging import log
+
+        if not _PlanesProcedure._warned_flat_rays:
+            log.info(
+                "render_sh_voxel_grid_planes: flat ray batch requested; the "
+                "plane-march kernel is pose-structured, routing these rays "
+                "through render_sh_voxel_grid_fast (whole-pose renders keep "
+                "the plane-march kernel)"
+            )
+            _PlanesProcedure._warned_flat_rays = True
+        return render_sh_voxel_grid_fast(voxel_grid, rays, render_config, key)
 
 
 render_sh_voxel_grid_planes = _PlanesProcedure()
