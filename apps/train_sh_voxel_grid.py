@@ -68,12 +68,15 @@ from thr3ed_atom_tpu.utils.misc import log_config_to_disk  # noqa: E402
 @click.option("--white_bkgd", type=click.BOOL, default=True,
               help="whether to use white background for synthetic scenes", show_default=True)
 @click.option("--render_procedure",
-              type=click.Choice(["render_sh_voxel_grid_bricked",
+              type=click.Choice(["render_sh_voxel_grid_gnomonic",
+                                 "render_sh_voxel_grid_bricked",
                                  "render_sh_voxel_grid_fast", "render_sh_voxel_grid",
                                  "render_sh_voxel_grid_hierarchical"]),
               default="render_sh_voxel_grid_bricked", show_default=True,
-              help="bricked = fused slab-march Pallas kernel (tile-based training, "
-                   "whole-image renders, fastest); "
+              help="gnomonic = shear-warp pipeline (whole-pose training steps, "
+                   "dense MXU resample, SH degree <= 3); "
+                   "bricked = fused slab-march Pallas kernel (tile-based training, "
+                   "whole-image renders); "
                    "fast = two-phase top-K over packed tables (float-precision parity); "
                    "exact = reference-semantics gather path; hierarchical = coarse-to-fine "
                    "importance sampling (num_samples is the total budget)")
@@ -193,11 +196,30 @@ def main(**config) -> None:
     if render_procedure == "render_sh_voxel_grid_bricked" and (
         config["sh_degree"] > 2 or config["use_softplus_field"]
     ):
-        # the slab-march kernel packs (features ++ density) into 32-lane slabs
-        # (SH degree <= 2) and supports identity/relu density postactivation
+        if config["use_softplus_field"]:
+            # the Pallas march kernels support identity/relu density
+            # postactivation only
+            log.info(
+                "bricked renderer does not support softplus fields; "
+                "falling back to render_sh_voxel_grid_fast"
+            )
+            render_procedure = "render_sh_voxel_grid_fast"
+        else:
+            # the slab-march kernel packs (features ++ density) into 32-lane
+            # slabs (SH degree <= 2); the gnomonic pipeline's dense texel
+            # formulation has no lane cap and renders/trains degree 3
+            log.info(
+                "bricked renderer supports sh_degree <= 2; using the gnomonic "
+                "shear-warp procedure for sh_degree 3"
+            )
+            render_procedure = "render_sh_voxel_grid_gnomonic"
+    if (
+        render_procedure == "render_sh_voxel_grid_gnomonic"
+        and config["use_softplus_field"]
+    ):
         log.info(
-            "bricked renderer supports sh_degree <= 2 with relu/identity density "
-            "postactivation; falling back to render_sh_voxel_grid_fast"
+            "gnomonic renderer does not support softplus fields; "
+            "falling back to render_sh_voxel_grid_fast"
         )
         render_procedure = "render_sh_voxel_grid_fast"
 

@@ -231,6 +231,96 @@ def test_bricked_use_mesh_dispatches_mesh_step(tmp_path, synthetic_data, monkeyp
             assert b.num_tiles % dp == 0 and n_dev % mp == 0
 
 
+def test_gnomonic_procedure_trains_through_procedure(tmp_path, synthetic_data, monkeypatch):
+    """The stagewise trainer dispatches whole-pose gnomonic train steps when the
+    gnomonic procedure is selected (rendering/gnomonic_train.py)."""
+    import json
+
+    import imageio.v2 as imageio
+
+    import thr3ed_atom_tpu.rendering.gnomonic_train as gtr
+    from thr3ed_atom_tpu.data.dataset import PosedImagesDataset
+    from thr3ed_atom_tpu.modules.trainer import (
+        train_sh_vox_grid_vol_mod_with_posed_images,
+    )
+    from thr3ed_atom_tpu.utils.camera import to8b
+    from thr3ed_atom_tpu.utils.constants import (
+        BOUNDS,
+        EXTRINSIC,
+        FOCAL as FOCAL_KEY,
+        HEIGHT,
+        INTRINSIC,
+        ROTATION,
+        TRANSLATION,
+        WIDTH,
+    )
+
+    images, poses, intrinsics = synthetic_data
+    img_dir = tmp_path / "train"
+    img_dir.mkdir()
+    params = {}
+    for i in range(NUM_IMAGES):
+        name = f"r_{i}.png"
+        imageio.imwrite(img_dir / name, to8b(np.asarray(images[i])))
+        pose = np.asarray(poses[i])
+        params[name] = {
+            INTRINSIC: {
+                BOUNDS: [2.0, 6.0],
+                HEIGHT: IMAGE_SIZE,
+                WIDTH: IMAGE_SIZE,
+                FOCAL_KEY: FOCAL,
+            },
+            EXTRINSIC: {
+                ROTATION: pose[:, :3].tolist(),
+                TRANSLATION: pose[:, 3:].tolist(),
+            },
+        }
+    with open(tmp_path / "train_camera_params.json", "w") as f:
+        json.dump(params, f)
+    dataset = PosedImagesDataset(
+        images_dir=img_dir,
+        camera_params_json=tmp_path / "train_camera_params.json",
+    )
+
+    grid, render_config = _fresh_model()
+    vol_mod = VolumetricModel(
+        grid,
+        render_config=render_config,
+        render_procedure="render_sh_voxel_grid_gnomonic",
+    )
+
+    step_calls = []
+    real_step = gtr.gnomonic_train_step
+
+    def counting_step(tstat, tx, *args, **kwargs):
+        step_calls.append(tstat)
+        return real_step(tstat, tx, *args, **kwargs)
+
+    monkeypatch.setattr(gtr, "gnomonic_train_step", counting_step)
+
+    train_sh_vox_grid_vol_mod_with_posed_images(
+        vol_mod=vol_mod,
+        train_dataset=dataset,
+        output_dir=tmp_path / "output",
+        ray_batch_size=512,
+        num_stages=1,
+        num_iterations_per_stage=3,
+        learning_rate=0.05,
+        save_freq=1000,
+        test_freq=1000,
+        feedback_freq=1000,
+        summary_freq=10,
+        fast_debug_mode=True,
+        verbose_rendering=False,
+    )
+
+    assert len(step_calls) == 3, "gnomonic procedure did not drive the train loop"
+    assert step_calls[0].height == IMAGE_SIZE
+    assert np.isfinite(np.asarray(vol_mod.thre3d_repr.densities)).all()
+    final = tmp_path / "output" / "saved_models" / "model_final"
+    assert final.with_suffix(".npz").exists()
+
+
 def test_train_step_metrics_structure(synthetic_data):
     images, poses, intrinsics = synthetic_data
     grid, render_config = _fresh_model()

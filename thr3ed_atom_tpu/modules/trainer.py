@@ -462,6 +462,9 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
         use_bricked = (
             vol_mod.render_procedure_name == "render_sh_voxel_grid_bricked"
         )
+        use_gnomonic = (
+            vol_mod.render_procedure_name == "render_sh_voxel_grid_gnomonic"
+        )
         statics = TrainStepStatics(
             render_config=vol_mod.render_config,
             image_height=stage_intrinsics.height,
@@ -501,6 +504,28 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                     f"bricked mesh training over {jax.device_count()} devices "
                     "(tiles x depth-segments)"
                 )
+        if use_gnomonic:
+            from thr3ed_atom_tpu.rendering.bricked import dominant_axis_for_pose
+            from thr3ed_atom_tpu.rendering.gnomonic_train import (
+                gnomonic_train_step,
+                make_gnomonic_train_statics,
+            )
+
+            poses_np = np.asarray(stage_dataset.poses)
+            # whole-pose steps: each iteration trains EVERY pixel of one view.
+            # The march (axis, flip) variant is a host decision (<= 6 compiled
+            # step programs per stage, cached by GnomonicTrainStatics hash).
+            pose_variants = [
+                dominant_axis_for_pose(poses_np[i][:, :3])
+                for i in range(len(poses_np))
+            ]
+            gnomonic_tstats = {}
+            pose_picker = np.random.default_rng(seed + stage)
+        rays_per_step = (
+            stage_intrinsics.height * stage_intrinsics.width
+            if use_gnomonic
+            else ray_batch_size
+        )
 
         log.info(
             f"training stage: {stage}   voxel grid resolution: {grid.grid_dims} "
@@ -564,6 +589,31 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                         b_statics, tx, grid, opt_state, images, poses,
                         tile_pose_idx, step_key,
                     )
+            elif use_gnomonic:
+                p_i = int(pose_picker.integers(len(poses_np)))
+                variant = pose_variants[p_i]
+                tstat = gnomonic_tstats.get(variant)
+                if tstat is None:
+                    tstat = make_gnomonic_train_statics(
+                        grid,
+                        variant[0],
+                        variant[1],
+                        image_height=stage_intrinsics.height,
+                        image_width=stage_intrinsics.width,
+                        white_bkgd=vol_mod.render_config.white_bkgd,
+                        apply_diffuse_render_regularization=(
+                            apply_diffuse_render_regularization
+                        ),
+                        pos_per_cell=vol_mod.render_config.gnomonic_pos_per_cell,
+                        supersample=vol_mod.render_config.gnomonic_supersample,
+                        interpret=jax.default_backend() == "cpu",
+                    )
+                    gnomonic_tstats[variant] = tstat
+                grid, opt_state, metrics = gnomonic_train_step(
+                    tstat, tx, grid, opt_state,
+                    images[p_i], poses[p_i, :, :3], poses[p_i, :, 3],
+                    jnp.float32(stage_intrinsics.focal),
+                )
             else:
                 grid, opt_state, metrics = _train_step(
                     statics, tx, grid, opt_state, images, poses, step_key
@@ -575,9 +625,9 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
 
             if global_step % summary_freq == 0 or is_edge:
                 metrics_host = {k: float(v) for k, v in metrics.items()}  # syncs
-                rays_meter.tick(ray_batch_size * steps_since_sync)
+                rays_meter.tick(rays_per_step * steps_since_sync)
                 steps_since_sync = 0
-                metrics_host["num_epochs"] = ray_batch_size * global_step / dataset_size
+                metrics_host["num_epochs"] = rays_per_step * global_step / dataset_size
                 metrics_host["train_rays_per_sec"] = rays_meter.per_sec
                 for name, value in metrics_host.items():
                     tensorboard_writer.add_scalar(name, value, global_step=global_step)
