@@ -81,6 +81,71 @@ def test_weights_loader_npz_path(tmp_path, metric):
     assert np.isfinite(v) and v > 0
 
 
+def test_matches_official_lpips_semantics_torch_oracle(metric):
+    """Pin the JAX implementation against an independent torch reimplementation
+    of the official LPIPS forward (lpips/lpips.py: ScalingLayer -> vgg16 slices
+    tapping relu{1_2,2_2,3_3,4_3,5_3} -> normalize_tensor -> 1x1 linear heads
+    -> spatial average -> layer sum), run with IDENTICAL weights. This
+    guarantees that, given the official weight tensors (convert via
+    tools/convert_lpips_weights.py offline), our scores equal the official
+    package's — the only unverifiable residue in this egress-less deployment is
+    the weight values themselves."""
+    import torch
+    import torch.nn.functional as F
+
+    w = {k: np.asarray(v) for k, v in metric.weights.items()}
+
+    def official_forward(img_a, img_b):
+        # images [H, W, 3] in [0, 1] -> official input domain [-1, 1], NCHW
+        shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+        def to_t(img):
+            t = torch.from_numpy(img).permute(2, 0, 1)[None] * 2.0 - 1.0
+            return (t - shift) / scale
+
+        cfg = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512)
+        taps_after = {1, 3, 6, 9, 12}
+
+        def vgg_taps(x):
+            taps = []
+            conv_i = 0
+            for item in cfg:
+                if item == "M":
+                    x = F.max_pool2d(x, 2, 2)
+                    continue
+                kern = torch.from_numpy(
+                    w[f"conv{conv_i}_w"].transpose(3, 2, 0, 1).copy()
+                )  # HWIO -> OIHW
+                bias = torch.from_numpy(w[f"conv{conv_i}_b"])
+                x = F.relu(F.conv2d(x, kern, bias, padding=1))
+                if conv_i in taps_after:
+                    taps.append(x)
+                conv_i += 1
+            return taps
+
+        def normalize_tensor(t, eps=1e-10):
+            norm = torch.sqrt(torch.sum(t**2, dim=1, keepdim=True))
+            return t / (norm + eps)
+
+        with torch.no_grad():
+            ta = vgg_taps(to_t(img_a))
+            tb = vgg_taps(to_t(img_b))
+            total = 0.0
+            for i, (fa, fb) in enumerate(zip(ta, tb)):
+                diff = (normalize_tensor(fa) - normalize_tensor(fb)) ** 2
+                lin = torch.from_numpy(w[f"lin{i}_w"]).view(1, -1, 1, 1)
+                total += (diff * lin).sum(dim=1, keepdim=True).mean(dim=(2, 3))
+        return float(total)
+
+    for seed in (11, 2):
+        a, b = _pair(seed=seed)
+        ours = metric(a, b)
+        oracle = official_forward(a, b)
+        assert ours == pytest.approx(oracle, rel=1e-4), (seed, ours, oracle)
+
+
 def test_batched_matches_single(metric):
     a1, b1 = _pair(seed=5)
     a2, b2 = _pair(seed=6)
