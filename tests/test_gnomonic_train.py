@@ -192,6 +192,77 @@ def test_gnomonic_train_step_reduces_loss():
     assert np.isfinite(np.asarray(g.features)).all()
 
 
+def test_gnomonic_mesh_step_matches_pose_average():
+    """The pose-parallel mesh step must equal the single-device step taken on
+    the AVERAGE of the per-pose gradients (SGD so grid deltas are exactly
+    -lr * grad; Adam's sign-like first step would hide psum layout bugs)."""
+    if jax.device_count() < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    n_dev = 4 if jax.device_count() >= 4 else 2
+    key = jax.random.PRNGKey(7)
+    grid = _tiny_scene(key)
+    H = W = 24
+    focal = 26.0
+    # n_dev poses sharing one march variant
+    poses = [pose_spherical(30.0 + 10.0 * i, -40.0, 3.5) for i in range(n_dev)]
+    variants = {
+        dominant_axis_for_pose(np.asarray(p.rotation).reshape(3, 3))
+        for p in poses
+    }
+    assert len(variants) == 1, variants
+    axis, flip = variants.pop()
+    rotations = jnp.asarray(
+        np.stack([np.asarray(p.rotation).reshape(3, 3) for p in poses]),
+        jnp.float32,
+    )
+    origins = jnp.asarray(
+        np.stack([np.asarray(p.translation).reshape(3) for p in poses]),
+        jnp.float32,
+    )
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((n_dev, H, W, 3), dtype=np.float32))
+
+    tstat = gt.make_gnomonic_train_statics(
+        grid, axis, flip, image_height=H, image_width=W, white_bkgd=True,
+        apply_diffuse_render_regularization=True, pos_per_cell=1,
+        interpret=True,
+    )
+    tx = optax.sgd(0.1)
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)  # noqa: E731
+
+    g_mesh, _, m_mesh = gt.gnomonic_train_step_mesh(
+        tstat, tx, n_dev, copy(grid), tx.init(grid), images, rotations,
+        origins, jnp.float32(focal),
+    )
+
+    # oracle: average of per-pose gradients, single device
+    import functools
+    grad_fn = jax.grad(
+        functools.partial(gt._pose_loss, tstat), has_aux=True
+    )
+    grads = None
+    for i in range(n_dev):
+        g_i, _aux = grad_fn(
+            grid, images[i], rotations[i], origins[i], jnp.float32(focal)
+        )
+        grads = g_i if grads is None else jax.tree_util.tree_map(
+            jnp.add, grads, g_i
+        )
+    grads = jax.tree_util.tree_map(lambda x: x / n_dev, grads)
+    updates, _ = tx.update(grads, tx.init(grid), grid)
+    g_ref = optax.apply_updates(copy(grid), updates)
+
+    np.testing.assert_allclose(
+        np.asarray(g_mesh.densities), np.asarray(g_ref.densities),
+        atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_mesh.features), np.asarray(g_ref.features),
+        atol=1e-5, rtol=1e-5,
+    )
+    assert np.isfinite(float(m_mesh["total_loss"]))
+
+
 def test_render_pose_diff_matches_inference_render():
     """The training-path forward must agree with the inference pipeline."""
     key = jax.random.PRNGKey(5)

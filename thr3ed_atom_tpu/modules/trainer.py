@@ -508,6 +508,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
             from thr3ed_atom_tpu.rendering.bricked import dominant_axis_for_pose
             from thr3ed_atom_tpu.rendering.gnomonic_train import (
                 gnomonic_train_step,
+                gnomonic_train_step_mesh,
                 make_gnomonic_train_statics,
             )
 
@@ -521,8 +522,23 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
             ]
             gnomonic_tstats = {}
             pose_picker = np.random.default_rng(seed + stage)
+            gn_variant_buckets = {}
+            for p_i, v in enumerate(pose_variants):
+                gn_variant_buckets.setdefault(v, []).append(p_i)
+            gn_bucket_variants = list(gn_variant_buckets)
+            gn_bucket_weights = np.array(
+                [len(gn_variant_buckets[v]) for v in gn_bucket_variants],
+                np.float64,
+            )
+            gn_bucket_weights /= gn_bucket_weights.sum()
+            gn_mesh_devices = jax.device_count() if use_mesh else 1
+            if use_mesh:
+                log.info(
+                    f"gnomonic mesh training over {gn_mesh_devices} devices "
+                    "(one whole training view per device)"
+                )
         rays_per_step = (
-            stage_intrinsics.height * stage_intrinsics.width
+            stage_intrinsics.height * stage_intrinsics.width * gn_mesh_devices
             if use_gnomonic
             else ray_batch_size
         )
@@ -590,8 +606,10 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                         tile_pose_idx, step_key,
                     )
             elif use_gnomonic:
-                p_i = int(pose_picker.integers(len(poses_np)))
-                variant = pose_variants[p_i]
+                variant = gn_bucket_variants[
+                    int(pose_picker.choice(len(gn_bucket_variants),
+                                           p=gn_bucket_weights))
+                ]
                 tstat = gnomonic_tstats.get(variant)
                 if tstat is None:
                     tstat = make_gnomonic_train_statics(
@@ -609,11 +627,23 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                         interpret=jax.default_backend() == "cpu",
                     )
                     gnomonic_tstats[variant] = tstat
-                grid, opt_state, metrics = gnomonic_train_step(
-                    tstat, tx, grid, opt_state,
-                    images[p_i], poses[p_i, :, :3], poses[p_i, :, 3],
-                    jnp.float32(stage_intrinsics.focal),
-                )
+                bucket = gn_variant_buckets[variant]
+                if gn_mesh_devices > 1:
+                    idx = pose_picker.choice(bucket, size=gn_mesh_devices)
+                    grid, opt_state, metrics = gnomonic_train_step_mesh(
+                        tstat, tx, gn_mesh_devices, grid, opt_state,
+                        images[jnp.asarray(idx)],
+                        poses[jnp.asarray(idx), :, :3],
+                        poses[jnp.asarray(idx), :, 3],
+                        jnp.float32(stage_intrinsics.focal),
+                    )
+                else:
+                    p_i = int(pose_picker.choice(bucket))
+                    grid, opt_state, metrics = gnomonic_train_step(
+                        tstat, tx, grid, opt_state,
+                        images[p_i], poses[p_i, :, :3], poses[p_i, :, 3],
+                        jnp.float32(stage_intrinsics.focal),
+                    )
             else:
                 grid, opt_state, metrics = _train_step(
                     statics, tx, grid, opt_state, images, poses, step_key

@@ -401,6 +401,32 @@ def render_pose_diff(voxel_grid: VoxelGrid, rotation, origin, focal,
     )
 
 
+def _pose_loss(tstat: GnomonicTrainStatics, g: VoxelGrid, image, rotation,
+               origin, focal):
+    """Whole-pose objective (same as the reference trainer: specular L1 +
+    optional diffuse L1 regularization, trainers.py:311-330)."""
+    out = render_pose_diff(g, rotation, origin, focal, tstat)
+    colour = out.colour
+    specular_loss = jnp.mean(jnp.abs(colour - image))
+    specular_mse = jnp.mean((colour - image) ** 2)
+    total = specular_loss
+    aux = {
+        "specular_loss": specular_loss,
+        "specular_psnr": mse2psnr(specular_mse),
+    }
+    if tstat.apply_diffuse_render_regularization:
+        diffuse = out.extra["diffuse_colour"]
+        diffuse_loss = jnp.mean(jnp.abs(diffuse - image))
+        diffuse_mse = jnp.mean((diffuse - image) ** 2)
+        total = total + diffuse_loss
+        aux |= {
+            "diffuse_loss": diffuse_loss,
+            "diffuse_psnr": mse2psnr(diffuse_mse),
+        }
+    aux["total_loss"] = total
+    return total, aux
+
+
 @partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3))
 def gnomonic_train_step(
     tstat: GnomonicTrainStatics,
@@ -412,32 +438,54 @@ def gnomonic_train_step(
     origin: jnp.ndarray,  # [3]
     focal: jnp.ndarray,  # scalar
 ):
-    """One whole-pose optimization step (same objective as the reference
-    trainer: specular L1 + optional diffuse L1, trainers.py:311-330)."""
+    """One whole-pose optimization step."""
+    (_loss, metrics), grads = jax.value_and_grad(
+        partial(_pose_loss, tstat), has_aux=True
+    )(grid, image, rotation, origin, focal)
+    updates, opt_state = tx.update(grads, opt_state, grid)
+    grid = optax.apply_updates(grid, updates)
+    return grid, opt_state, metrics
 
-    def loss_fn(g: VoxelGrid):
-        out = render_pose_diff(g, rotation, origin, focal, tstat)
-        colour = out.colour
-        specular_loss = jnp.mean(jnp.abs(colour - image))
-        specular_mse = jnp.mean((colour - image) ** 2)
-        total = specular_loss
-        aux = {
-            "specular_loss": specular_loss,
-            "specular_psnr": mse2psnr(specular_mse),
-        }
-        if tstat.apply_diffuse_render_regularization:
-            diffuse = out.extra["diffuse_colour"]
-            diffuse_loss = jnp.mean(jnp.abs(diffuse - image))
-            diffuse_mse = jnp.mean((diffuse - image) ** 2)
-            total = total + diffuse_loss
-            aux |= {
-                "diffuse_loss": diffuse_loss,
-                "diffuse_psnr": mse2psnr(diffuse_mse),
-            }
-        aux["total_loss"] = total
-        return total, aux
 
-    (_loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(grid)
+@partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3, 4))
+def gnomonic_train_step_mesh(
+    tstat: GnomonicTrainStatics,
+    tx: optax.GradientTransformation,
+    n_dev: int,
+    grid: VoxelGrid,
+    opt_state,
+    images: jnp.ndarray,  # [n_dev, H, W, 3] one training view per device
+    rotations: jnp.ndarray,  # [n_dev, 3, 3] (all the SAME (axis, flip) variant)
+    origins: jnp.ndarray,  # [n_dev, 3]
+    focal: jnp.ndarray,  # scalar
+):
+    """Pose-parallel gnomonic step over a "data" mesh: each device renders and
+    differentiates one whole training view (one fused pipeline launch — the
+    natural gnomonic sharding unit); gradients and metrics psum-average over
+    the mesh. All poses of a step must share the march (axis, flip) variant
+    (the trainer buckets views by dominant_axis_for_pose)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("data",))
+
+    def device_fn(g, img, rot, org, foc):
+        (_loss, aux), grads = jax.value_and_grad(
+            partial(_pose_loss, tstat), has_aux=True
+        )(g, img[0], rot[0], org[0], foc)
+        grads = jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(x, "data") / n_dev, grads
+        )
+        aux = {k: jax.lax.psum(v, "data") / n_dev for k, v in aux.items()}
+        return grads, aux
+
+    grads, metrics = shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data"), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )(grid, images, rotations, origins, focal)
     updates, opt_state = tx.update(grads, opt_state, grid)
     grid = optax.apply_updates(grid, updates)
     return grid, opt_state, metrics
