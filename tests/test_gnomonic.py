@@ -196,6 +196,67 @@ def test_warped_image_matches_oracle_pixels(key):
         assert np.median(np.abs(dep[m] - np.asarray(od)[m, 0])) < 0.05
 
 
+def test_bicubic_warp_beats_bilinear_on_smooth_scene(key):
+    """The Catmull-Rom warp (default) must reconstruct a smooth scene more
+    accurately than the bilinear tap — it exists to clear the warp-limited
+    quality ceiling (~79 dB at production scale with bilinear)."""
+    # smooth scene: blur the random grid so the composited field is dominated
+    # by low frequencies (where the cubic's higher-order accuracy shows)
+    grid = _make_grid(key, post="relu")
+    k = jnp.ones((3, 3, 3)) / 27.0
+
+    def blur(a):
+        pads = [(1, 1)] * 3 + [(0, 0)]
+        ap = jnp.pad(a, pads, mode="edge")
+        out = jnp.zeros_like(a)
+        for dx in range(3):
+            for dy in range(3):
+                for dz in range(3):
+                    out = out + k[dx, dy, dz] * ap[
+                        dx:dx + a.shape[0], dy:dy + a.shape[1],
+                        dz:dz + a.shape[2]]
+        return out
+
+    import dataclasses
+    grid = dataclasses.replace(
+        grid, densities=blur(grid.densities), features=blur(grid.features)
+    )
+    pose = pose_spherical(200.0, -30.0, 3.5)
+    H = W = 40
+    intr = CameraIntrinsics(H, W, 44.0)
+    rotation = np.asarray(pose.rotation).reshape(3, 3)
+    origin = np.asarray(pose.translation).reshape(3)
+    axis, flip = dominant_axis_for_pose(rotation)
+    px = np.arange(W) + 0.5
+    py = np.arange(H) + 0.5
+    gx, gy = np.meshgrid(px, py, indexing="xy")
+    dcam = np.stack(
+        [(gx - W / 2) / 44.0, -(gy - H / 2) / 44.0, -np.ones_like(gx)], -1
+    )
+    dirs = (dcam @ rotation.T).reshape(-1, 3).astype(np.float32)
+    oc, _, _, _ = _oracle_at_rays(
+        grid, origin, jnp.asarray(dirs), 4, axis, flip, True
+    )
+    oc = np.asarray(oc)
+
+    def psnr_for(order):
+        out = gn.render_image_gnomonic(
+            grid, pose, intr,
+            _config(white_bkgd=False, gnomonic_pos_per_cell=4,
+                    gnomonic_warp_order=order),
+            interpret=True,
+        )
+        got = np.asarray(out.colour).reshape(-1, 3)
+        mse = float(np.mean((got - oc) ** 2))
+        return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+    # P=4 so along-ray quadrature error is converged and the warp dominates
+    # (at P=1 quadrature drowns the warp difference; experiments/probe_warp.py)
+    p1 = psnr_for(1)
+    p3 = psnr_for(3)
+    assert p3 > p1 + 0.5, (p1, p3)
+
+
 def test_white_bkgd_and_diffuse(key):
     grid = _make_grid(key, post="relu")
     pose = pose_spherical(75.0, -20.0, 3.5)

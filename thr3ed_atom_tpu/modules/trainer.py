@@ -624,6 +624,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                         ),
                         pos_per_cell=vol_mod.render_config.gnomonic_pos_per_cell,
                         supersample=vol_mod.render_config.gnomonic_supersample,
+                        warp_order=vol_mod.render_config.gnomonic_warp_order,
                         interpret=jax.default_backend() == "cpu",
                     )
                     gnomonic_tstats[variant] = tstat

@@ -491,7 +491,7 @@ def _march_gnomonic(
 
 
 @partial(jax.jit, static_argnames=("statics", "height", "width", "supersample",
-                                   "white_bkgd", "frame"))
+                                   "white_bkgd", "frame", "warp_order"))
 def _warp_to_camera(
     state,  # [SROWS, Pn, Qn] composited gnomonic state
     xr,
@@ -504,6 +504,7 @@ def _warp_to_camera(
     supersample: float,
     white_bkgd: bool,
     frame: Optional[Tuple[int, int]] = None,
+    warp_order: int = 3,
 ):
     axis = statics.axis
     u_ax, v_ax = _uv_axes(axis)
@@ -540,14 +541,49 @@ def _warp_to_camera(
     flat = src.reshape(Pn * Qn, nch)
 
     def gat(dp, dq):
-        return jnp.take(flat, (p0 + dp) * Qn + (q0 + dq), axis=0)
+        # clamped taps (the bicubic stencil reaches 1 texel outside the frame)
+        pi = jnp.clip(p0 + dp, 0, Pn - 1)
+        qi = jnp.clip(q0 + dq, 0, Qn - 1)
+        return jnp.take(flat, pi * Qn + qi, axis=0)
 
-    out = (
-        gat(0, 0) * ((1 - fp) * (1 - fq))[..., None]
-        + gat(1, 0) * (fp * (1 - fq))[..., None]
-        + gat(0, 1) * ((1 - fp) * fq)[..., None]
-        + gat(1, 1) * (fp * fq)[..., None]
-    )  # [H, W, nch]
+    if warp_order == 3:
+        # separable Catmull-Rom: C1 reconstruction of the supersampled state.
+        # The composited gnomonic field is smooth (it is an integral), so the
+        # cubic's higher-order accuracy dominates the bilinear tent's O(h^2)
+        # smoothing — this clears the warp-limited quality ceiling measured
+        # with the bilinear tap (~79 dB vs exact at production scale).
+        def cubw(t):
+            t2 = t * t
+            t3 = t2 * t
+            return (
+                -0.5 * t3 + t2 - 0.5 * t,
+                1.5 * t3 - 2.5 * t2 + 1.0,
+                -1.5 * t3 + 2.0 * t2 + 0.5 * t,
+                0.5 * t3 - 0.5 * t2,
+            )
+
+        wps = cubw(fp)
+        wqs = cubw(fq)
+        out = 0.0
+        for ip, wp in enumerate(wps):
+            row = 0.0
+            for iq, wq in enumerate(wqs):
+                row = row + gat(ip - 1, iq - 1) * wq[..., None]
+            out = out + row * wp[..., None]
+        # clamp to the bilinear tap hull: kills Catmull-Rom ringing (keeps
+        # empty background EXACTLY empty — the white-bkgd identity) while
+        # retaining the cubic's sharpness in smooth regions
+        c00, c10, c01, c11 = gat(0, 0), gat(1, 0), gat(0, 1), gat(1, 1)
+        lo = jnp.minimum(jnp.minimum(c00, c10), jnp.minimum(c01, c11))
+        hi = jnp.maximum(jnp.maximum(c00, c10), jnp.maximum(c01, c11))
+        out = jnp.clip(out, lo, hi)
+    else:
+        out = (
+            gat(0, 0) * ((1 - fp) * (1 - fq))[..., None]
+            + gat(1, 0) * (fp * (1 - fq))[..., None]
+            + gat(0, 1) * ((1 - fp) * fq)[..., None]
+            + gat(1, 1) * (fp * fq)[..., None]
+        )  # [H, W, nch]
 
     colour = out[..., 0:3]
     acc = out[..., 3:4]
@@ -639,6 +675,7 @@ def render_image_gnomonic(
     return _warp_to_camera(
         state, xr, yr, rot_j, statics, height, width, focal, supersample,
         bool(config.white_bkgd),
+        warp_order=int(getattr(config, "gnomonic_warp_order", 3)),
     )
 
 

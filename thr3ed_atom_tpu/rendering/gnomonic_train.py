@@ -342,6 +342,7 @@ class GnomonicTrainStatics(NamedTuple):
     white_bkgd: bool
     apply_diffuse_render_regularization: bool
     frame: Tuple[int, int, int, int]  # Pn, Qn, PB, Pb
+    warp_order: int = 3
 
 
 def make_gnomonic_train_statics(
@@ -355,6 +356,7 @@ def make_gnomonic_train_statics(
     apply_diffuse_render_regularization: bool = True,
     pos_per_cell: int = 0,
     supersample: float = 1.25,
+    warp_order: int = 3,
     interpret: bool = False,
 ) -> GnomonicTrainStatics:
     statics = statics_for_grid(
@@ -373,6 +375,7 @@ def make_gnomonic_train_statics(
             apply_diffuse_render_regularization
         ),
         frame=frame,
+        warp_order=int(warp_order),
     )
 
 
@@ -398,6 +401,7 @@ def render_pose_diff(voxel_grid: VoxelGrid, rotation, origin, focal,
     return _warp_to_camera(
         state, geo.xr, geo.yr, rotation, statics, tstat.height, tstat.width,
         focal, tstat.supersample, tstat.white_bkgd, frame=(Pn, Qn),
+        warp_order=tstat.warp_order,
     )
 
 

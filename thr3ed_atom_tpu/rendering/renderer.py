@@ -94,6 +94,10 @@ class SHVoxGridRenderConfig:
     # supersampling factor over the output image (higher = sharper final warp).
     gnomonic_pos_per_cell: int = 0
     gnomonic_supersample: float = 1.25
+    # final projective warp interpolation: 3 = separable Catmull-Rom bicubic
+    # (default; C1 reconstruction, clears the bilinear warp's quality ceiling),
+    # 1 = bilinear (cheapest)
+    gnomonic_warp_order: int = 3
 
     def replace(self, **overrides) -> "SHVoxGridRenderConfig":
         return dataclasses.replace(self, **overrides)
