@@ -5,15 +5,17 @@ test_voxels.py:137-209): 128^3 SH voxel grid (degree 2 -> 27 features + density)
 400x400 image, mean over 100 random orbit poses, deterministic no-grad rendering of
 colour+depth+acc+disparity. The scene is a realistic sparse one (procedural density
 blobs, ~5% occupancy) rather than random noise, so transmittance/occupancy behave
-like a trained model's. Sampling: the bricked renderer takes one sample per slab
-crossing (~127-220 samples/ray at 128^3, the trilinear-exact analogue of the
-reference's 256 uniform samples/ray).
+like a trained model's. Sampling: the gnomonic march takes P samples per cell
+along the dominant axis (auto P=2 at 128^3 -> ~256 positions across the grid,
+the reference harness's 256 uniform samples/ray density).
 
-Uses the fused slab-march Pallas kernel (render_sh_voxel_grid_bricked,
-ops/pallas/slab_march.py) — the production render path at its quality defaults:
-auto axis supersampling (K=2 at 128^3 — the reference harness's sampling density;
-82.6 dB vs the exact renderer at 1024 spp) plus occupancy skipping and early exit
-(120 dB neutral). K=1 fixed is the speed mode (76.1 dB, ~2.1x the throughput).
+Uses the gnomonic shear-warp pipeline (render_sh_voxel_grid_gnomonic,
+rendering/gnomonic.py) — the production render path at its quality defaults:
+auto positions-per-cell (P=2 at 128^3 — constant world-space quadrature), 1.25x
+texel supersampling, hull-clamped Catmull-Rom warp. The dense per-plane MXU
+resample replaces the slab-march kernel's gather formulation (round-2 headline:
+2.69M rays/s; the slab-march path remains available as
+render_sh_voxel_grid_bricked).
 
 Measurement notes: per-pose programs are compiled per march-axis variant (<= 6) and
 the TPU runtime may run a deoptimized executable until the async AOT compile lands,
@@ -61,7 +63,7 @@ def main() -> None:
         white_bkgd=True,
     )
     vol_mod = VolumetricModel(
-        grid, render_procedure="render_sh_voxel_grid_bricked", render_config=config
+        grid, render_procedure="render_sh_voxel_grid_gnomonic", render_config=config
     )
     intrinsics = CameraIntrinsics(IMAGE_SIZE, IMAGE_SIZE, IMAGE_SIZE * 1.1)
 
@@ -119,7 +121,7 @@ def main() -> None:
             {
                 "metric": (
                     f"render rays/sec/chip ({GRID_SIZE}^3 grid, "
-                    f"{IMAGE_SIZE}x{IMAGE_SIZE}, slab-march kernel, "
+                    f"{IMAGE_SIZE}x{IMAGE_SIZE}, gnomonic shear-warp, "
                     f"best of 3 passes over {NUM_POSES} poses)"
                 ),
                 "value": round(rays_per_sec, 1),

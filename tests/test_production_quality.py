@@ -97,3 +97,24 @@ def test_fast_topk_monotone_at_production_scale(scene):
     # soft-scene worst case: measured 28.2 / 35.7 dB; trained scenes are 1e-7-exact
     assert p32 > 25.0 and p64 > 31.0, (p32, p64)
     assert p64 > p32, (p32, p64)
+
+
+def test_gnomonic_quality_at_production_scale(scene):
+    """The gnomonic shear-warp path (the headline bench procedure) vs the exact
+    uniform renderer at 1024 spp, canonical shapes. Quality must rise with P
+    (quadrature) and the auto default (P=2 at 128^3) must clear the production
+    gate. Measured round-3 (bilinear warp): P=1 71.1 / P=2 77.1 / P=4 78.7 dB;
+    the hull-clamped Catmull-Rom warp (now default) raises the warp-limited
+    ceiling (experiments/probe_warp.py)."""
+    exact = _render(scene, "render_sh_voxel_grid", 1024,
+                    parallel_rays_chunk_size=4096)
+    psnrs = {}
+    for p in (1, 2, 4):
+        g = _render(scene, "render_sh_voxel_grid_gnomonic", 1024,
+                    gnomonic_pos_per_cell=p)
+        psnrs[p] = min(_psnr(x, e) for x, e in zip(g, exact))
+    assert psnrs[1] > 60.0, psnrs
+    assert psnrs[2] > psnrs[1], psnrs
+    assert psnrs[4] > psnrs[2], psnrs
+    # the quality default (auto = P=2 at 128^3) carries the headline bench
+    assert psnrs[2] > 75.0, psnrs
