@@ -1,12 +1,17 @@
 """Training-throughput benchmark: rays/sec through ONE fused optimization step
-(tile sampling -> slab repack -> fused slab-march forward -> replay backward ->
-Adam) at the canonical 128^3 / 400x400 shapes.
+at the canonical 128^3 / 400x400 shapes.
+
+Production (round-3) path: the gnomonic whole-pose train step — repack ->
+u-resample -> fused composite kernel forward -> replay-VJP backward -> warp
+adjoint -> Adam (rendering/gnomonic_train.py); one step trains every pixel of
+one training view (160K rays). Pass --bricked to measure the round-2 tile
+trainer (32768-ray steps through the slab-march kernel) instead.
 
 Counterpart of bench.py for the train side of BASELINE.md's "rays/sec/chip
 (train + render)" target; the reference's training logs its wall-clock via
 "TIME CHECK" (thre3d_atom/modules/trainers.py:222,402-404) without a checked-in
-harness, so this defines one. Round-1 reference point for this repo: ~21K rays/s
-(scatter-bound XLA backward, DESIGN_NOTES.md).
+harness, so this defines one. History on this repo: round 1 ~21K rays/s
+(scatter-bound XLA backward), round 2 925K (bricked tile trainer).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "rays/sec", "vs_baseline": N}
@@ -23,25 +28,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
 
 GRID_SIZE = 128
 IMAGE_SIZE = 400
-RAY_BATCH = 32768
+RAY_BATCH = 32768  # bricked mode only; gnomonic steps are whole-pose (H*W rays)
 TARGET_RAYS_PER_SEC = 50e6
 
 
-def main() -> None:
-    import jax
+def _poses_images(rng):
     import jax.numpy as jnp
-    import optax
 
-    from make_synthetic_dataset import make_blob_scene
-    from thr3ed_atom_tpu.modules.bricked_trainer import (
-        bricked_train_step,
-        make_bricked_train_statics,
-    )
-    from thr3ed_atom_tpu.rendering.bricked import dominant_axis_for_pose
     from thr3ed_atom_tpu.utils.camera import pose_spherical
 
-    scene = make_blob_scene(grid_size=GRID_SIZE, seed=3, converged=True)
-    rng = np.random.default_rng(0)
     poses_np = np.stack(
         [
             np.hstack([p.rotation, p.translation])
@@ -51,50 +46,32 @@ def main() -> None:
             )
         ]
     ).astype(np.float32)
-    images = jnp.asarray(rng.random((8, IMAGE_SIZE, IMAGE_SIZE, 3), dtype=np.float32))
-    poses = jnp.asarray(poses_np)
+    images = jnp.asarray(
+        rng.random((8, IMAGE_SIZE, IMAGE_SIZE, 3), dtype=np.float32)
+    )
+    return poses_np, jnp.asarray(poses_np), images
 
-    tx = optax.adam(0.03)
-    grid = scene
-    opt_state = tx.init(grid)
+
+def _measure(step_fn, warm_poses, rng, rays_per_step, label):
+    """Warm every march-axis variant, then repeat timed passes until the best
+    pass stops improving (the runtime serves a deoptimized executable until the
+    per-variant async AOT compile lands)."""
+    import jax
+
     key = jax.random.PRNGKey(0)
-
-    def statics_for(p):
-        axis, flip = dominant_axis_for_pose(poses_np[p][:, :3])
-        return make_bricked_train_statics(
-            scene,
-            axis,
-            flip,
-            image_height=IMAGE_SIZE,
-            image_width=IMAGE_SIZE,
-            focal=IMAGE_SIZE * 1.1,
-            ray_batch_size=RAY_BATCH,
-            white_bkgd=True,
-        )
-
-    def step(p, k):
-        nonlocal grid, opt_state
-        grid, opt_state, metrics = bricked_train_step(
-            statics_for(p), tx, grid, opt_state, images, poses, jnp.int32(p), k
-        )
-        return metrics
-
-    # compile/warm all march-axis variants, then repeat timed warm passes until the
-    # pass time stabilizes: the runtime serves a deoptimized executable until the
-    # per-variant async AOT compile lands, so a single warm pass is not enough
-    for p in range(8):
+    metrics = None
+    for p in warm_poses:
         key, sub = jax.random.split(key)
-        metrics = step(p, sub)
+        metrics = step_fn(p, sub)
     float(metrics["total_loss"])
-    # warm until the BEST pass stops improving (two consecutive non-improving
-    # passes): two equally-slow deoptimized passes must not read as "stable"
+
     def one_pass(n=10):
         nonlocal key
         t0 = time.perf_counter()
         for _ in range(n):
             key, sub = jax.random.split(key)
-            metrics = step(int(rng.integers(8)), sub)
-        float(metrics["total_loss"])  # pipelined: one sync at the end
+            m = step_fn(int(rng.integers(8)), sub)
+        float(m["total_loss"])  # pipelined: one sync at the end
         return (time.perf_counter() - t0) / n
 
     best = one_pass()
@@ -109,20 +86,89 @@ def main() -> None:
                 break
 
     dt = min(one_pass(30) for _ in range(3))
-
-    rays_per_sec = RAY_BATCH / dt
+    rays_per_sec = rays_per_step / dt
     print(
         json.dumps(
             {
-                "metric": (
-                    f"train rays/sec/chip ({GRID_SIZE}^3 grid, {RAY_BATCH} "
-                    f"rays/step, fused slab-march fwd+bwd + Adam)"
-                ),
+                "metric": f"train rays/sec/chip ({GRID_SIZE}^3 grid, {label})",
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/sec",
                 "vs_baseline": round(rays_per_sec / TARGET_RAYS_PER_SEC, 4),
             }
         )
+    )
+
+
+def main() -> None:
+    import jax.numpy as jnp
+    import optax
+
+    from make_synthetic_dataset import make_blob_scene
+    from thr3ed_atom_tpu.rendering.bricked import dominant_axis_for_pose
+
+    scene = make_blob_scene(grid_size=GRID_SIZE, seed=3, converged=True)
+    rng = np.random.default_rng(0)
+    poses_np, poses, images = _poses_images(rng)
+    tx = optax.adam(0.03)
+
+    if "--bricked" in sys.argv:
+        from thr3ed_atom_tpu.modules.bricked_trainer import (
+            bricked_train_step,
+            make_bricked_train_statics,
+        )
+
+        state = {"grid": scene, "opt": tx.init(scene)}
+
+        def statics_for(p):
+            axis, flip = dominant_axis_for_pose(poses_np[p][:, :3])
+            return make_bricked_train_statics(
+                scene, axis, flip, image_height=IMAGE_SIZE,
+                image_width=IMAGE_SIZE, focal=IMAGE_SIZE * 1.1,
+                ray_batch_size=RAY_BATCH, white_bkgd=True,
+            )
+
+        def step(p, k):
+            state["grid"], state["opt"], metrics = bricked_train_step(
+                statics_for(p), tx, state["grid"], state["opt"], images, poses,
+                jnp.int32(p), k,
+            )
+            return metrics
+
+        _measure(
+            step, range(8), rng, RAY_BATCH,
+            f"{RAY_BATCH} rays/step, fused slab-march fwd+bwd + Adam",
+        )
+        return
+
+    from thr3ed_atom_tpu.rendering.gnomonic_train import (
+        gnomonic_train_step,
+        make_gnomonic_train_statics,
+    )
+
+    state = {"grid": scene, "opt": tx.init(scene)}
+    tstats = {}
+
+    def tstat_for(p):
+        v = dominant_axis_for_pose(poses_np[p][:, :3])
+        if v not in tstats:
+            tstats[v] = make_gnomonic_train_statics(
+                scene, v[0], v[1], image_height=IMAGE_SIZE,
+                image_width=IMAGE_SIZE, white_bkgd=True,
+            )
+        return tstats[v]
+
+    def step(p, k):
+        del k  # the gnomonic pipeline is deterministic
+        state["grid"], state["opt"], metrics = gnomonic_train_step(
+            tstat_for(p), tx, state["grid"], state["opt"], images[p],
+            poses[p, :, :3], poses[p, :, 3], jnp.float32(IMAGE_SIZE * 1.1),
+        )
+        return metrics
+
+    _measure(
+        step, range(8), rng, IMAGE_SIZE * IMAGE_SIZE,
+        f"whole-pose {IMAGE_SIZE}x{IMAGE_SIZE} steps, gnomonic fwd + "
+        "replay-VJP bwd + Adam",
     )
 
 
