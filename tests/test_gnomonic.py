@@ -257,6 +257,63 @@ def test_bicubic_warp_beats_bilinear_on_smooth_scene(key):
     assert p3 > p1 + 0.5, (p1, p3)
 
 
+def test_occupancy_skip_and_early_exit_neutral(key):
+    """The (u-block x position) occupancy skip is EXACTLY lossless on sparse
+    scenes (both-endpoint-empty cells integrate to zero identically) and
+    early exit at eps changes outputs by at most ~eps."""
+    import dataclasses
+
+    grid = _make_grid(key, size=16, post="relu")
+    # carve: only a small central blob retains density
+    coords = jnp.stack(jnp.meshgrid(*[jnp.arange(16)] * 3, indexing="ij"), -1)
+    dist = jnp.linalg.norm(coords - 7.5, axis=-1, keepdims=True)
+    mask = (dist < 3.0).astype(jnp.float32)
+    grid = dataclasses.replace(
+        grid, densities=jnp.where(mask > 0, grid.densities, -1.0)
+    )
+    pose = pose_spherical(140.0, -30.0, 3.5)
+    intr = CameraIntrinsics(32, 32, 36.0)
+
+    out_skip = gn.render_image_gnomonic(
+        grid, pose, intr,
+        _config(white_bkgd=True, gnomonic_pos_per_cell=1, gnomonic_exit_eps=0.0),
+        interpret=True,
+    )
+    # occupancy off: route through composite_positions with occupancy=None
+    rotation = np.asarray(pose.rotation).reshape(3, 3)
+    axis, flip = dominant_axis_for_pose(rotation)
+    statics = gn.statics_for_grid(grid, axis, flip, with_diffuse=False,
+                                  pos_per_cell=1, interpret=True)
+    slices = gn.repack_position_slices(grid, statics)
+    rot_j = jnp.asarray(rotation, jnp.float32)
+    origin = jnp.asarray(np.asarray(pose.translation).reshape(3), jnp.float32)
+    Pn, Qn, PB, Pb = gn.gnomonic_frame(None, 32, 32, 36.0, 1.25, statics)
+    geo = gn.gnomonic_geometry(rot_j, origin, statics, 32, 32, 36.0, 1.25)
+    t1 = gn.resample_u(slices, geo.Ru)
+    state_all = gn.composite_positions(
+        t1, geo.RvT, geo.ybasis, geo.live_u, geo.live_v, geo.norm, geo.geom,
+        statics, Pn, Qn, PB, Pb, occupancy=None,
+    )
+    out_all = gn._warp_to_camera(
+        state_all, geo.xr, geo.yr, rot_j, statics, 32, 32, 36.0, 1.25, True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_skip.colour), np.asarray(out_all.colour)
+    )
+
+    # a sanity check that the flags actually skip a large fraction
+    cl, pn_flags = gn.gnomonic_occupancy(slices, geo.Ru, statics, PB, Pb)
+    assert float(jnp.mean(pn_flags.astype(jnp.float32))) < 0.8
+
+    out_exit = gn.render_image_gnomonic(
+        grid, pose, intr,
+        _config(white_bkgd=True, gnomonic_pos_per_cell=1,
+                gnomonic_exit_eps=1e-4),
+        interpret=True,
+    )
+    assert float(jnp.max(jnp.abs(out_exit.colour - out_skip.colour))) < 1e-3
+
+
 def test_white_bkgd_and_diffuse(key):
     grid = _make_grid(key, post="relu")
     pose = pose_spherical(75.0, -20.0, 3.5)

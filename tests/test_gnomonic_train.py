@@ -106,9 +106,11 @@ def test_composite_vjp_matches_reference_autodiff(with_diffuse, relu_sigma, ncoe
     )
     rv = jnp.swapaxes(rvt, 1, 2)
 
+    ones = jnp.ones((1, NP), jnp.int32)
+
     def loss_kernel(t1_):
         state = gt.composite_positions_diff(
-            t1_, rvt, rv, ybasis, live_u, live_v, norm, geom,
+            t1_, rvt, rv, ybasis, live_u, live_v, norm, geom, ones, ones,
             statics, Pn, Qn, 1, Pn,
         )
         return jnp.sum(gw * state)
@@ -190,6 +192,52 @@ def test_gnomonic_train_step_reduces_loss():
     assert losses[-1] < losses[0] * 0.7, losses
     assert np.isfinite(np.asarray(g.densities)).all()
     assert np.isfinite(np.asarray(g.features)).all()
+
+
+def test_occupancy_gating_gradients_exactly_lossless():
+    """On a sparse scene the occupancy-gated VJP must produce EXACTLY the same
+    gradients as all-live flags (a both-endpoints-empty cell has identically
+    zero integral and zero gradient)."""
+    import dataclasses
+
+    key = jax.random.PRNGKey(13)
+    grid = _tiny_scene(key, n=12)
+    coords = jnp.stack(jnp.meshgrid(*[jnp.arange(12)] * 3, indexing="ij"), -1)
+    dist = jnp.linalg.norm(coords - 5.5, axis=-1, keepdims=True)
+    grid = dataclasses.replace(
+        grid, densities=jnp.where(dist < 2.5, grid.densities, -1.0)
+    )
+    pose = pose_spherical(70.0, -30.0, 3.5)
+    H = W = 24
+    rotation = jnp.asarray(np.asarray(pose.rotation).reshape(3, 3), jnp.float32)
+    origin = jnp.asarray(np.asarray(pose.translation).reshape(3), jnp.float32)
+    axis, flip = dominant_axis_for_pose(np.asarray(pose.rotation).reshape(3, 3))
+    tstat = gt.make_gnomonic_train_statics(
+        grid, axis, flip, image_height=H, image_width=W, white_bkgd=True,
+        apply_diffuse_render_regularization=True, pos_per_cell=1,
+        interpret=True,
+    )
+
+    def loss(g):
+        out = gt.render_pose_diff(g, rotation, origin, jnp.float32(26.0), tstat)
+        return jnp.sum(out.colour**2) + jnp.sum(out.extra["diffuse_colour"])
+
+    g_gated = jax.grad(loss)(grid)
+    orig = gt.gnomonic_occupancy
+    try:
+        gt.gnomonic_occupancy = lambda slices, Ru, statics, PB, Pb: (
+            jnp.ones((PB, slices.shape[0]), jnp.int32),
+            jnp.ones((PB, slices.shape[0]), jnp.int32),
+        )
+        g_dense = jax.grad(loss)(grid)
+    finally:
+        gt.gnomonic_occupancy = orig
+    np.testing.assert_array_equal(
+        np.asarray(g_gated.densities), np.asarray(g_dense.densities)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(g_gated.features), np.asarray(g_dense.features)
+    )
 
 
 def test_gnomonic_mesh_step_matches_pose_average():

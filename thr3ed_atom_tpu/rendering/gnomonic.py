@@ -79,6 +79,10 @@ class GnomonicStatics(NamedTuple):
     with_diffuse: bool
     pos_per_cell: int
     interpret: bool
+    # per-u-block early exit: skip all remaining positions of a block once
+    # every texel's transmittance is below this (0 disables — the training
+    # path keeps 0 so the replay VJP is exact)
+    exit_eps: float = 0.0
 
 
 def statics_for_grid(
@@ -88,6 +92,7 @@ def statics_for_grid(
     *,
     with_diffuse: bool = False,
     pos_per_cell: int = 0,
+    exit_eps: float = 0.0,
     interpret: bool = False,
 ) -> GnomonicStatics:
     num_features = voxel_grid.num_features
@@ -119,6 +124,7 @@ def statics_for_grid(
         with_diffuse=bool(with_diffuse),
         pos_per_cell=int(pos_per_cell),
         interpret=bool(interpret),
+        exit_eps=float(exit_eps),
     )
 
 
@@ -226,69 +232,114 @@ def _p_blocking(Pn_raw: int, Qn: int, nv: int, C: int, with_diffuse: bool):
         PB *= 2
 
 
-def _make_composite_kernel(NP, Pb, Qn, nv, C, ncoeff, relu_sigma, with_diffuse):
+def gnomonic_occupancy(slices, Ru, statics: GnomonicStatics, PB: int, Pb: int):
+    """Exact-zero skip flags per (u-block, position) — (cell_live, pos_needed),
+    both [PB, NP] int32.
+
+    A cell's transmittance integral is EXACTLY zero when both endpoint planes
+    have no positive density anywhere in the u-range the block's tent rows
+    touch (the along-axis interpolant is a lerp of two non-positive planes,
+    so relu of it vanishes identically) — the same lossless rule as the
+    bricked kernel's occupancy, at (u-block x position) granularity.
+    ``pos_needed[j]`` marks positions adjacent to any live cell (their values
+    feed a live trapezoid); everything else skips the v-resample matmul."""
+    NP = slices.shape[0]
+    sig = slices[:, :, 3 * statics.ncoeff, :]  # [NP, nu, nv] pre-relu density
+    col_live = (jnp.max(sig, axis=-1) > 0.0).astype(jnp.float32)  # [NP, nu]
+    # u-support of each block: any tent row of the block touching column u
+    sup = (Ru > 0).astype(jnp.float32).reshape(NP, PB, Pb, -1).sum(axis=2)
+    slab_live = (
+        jnp.einsum("jbu,ju->jb", sup, col_live,
+                   preferred_element_type=jnp.float32) > 0.0
+    ).astype(jnp.int32)  # [NP, PB]
+    prev_l = jnp.concatenate(
+        [jnp.zeros((1,) + slab_live.shape[1:], jnp.int32), slab_live[:-1]], 0
+    )
+    next_l = jnp.concatenate(
+        [slab_live[1:], jnp.zeros((1,) + slab_live.shape[1:], jnp.int32)], 0
+    )
+    cell_live = prev_l | slab_live  # cell j spans positions (j-1, j); j=0 unused
+    pos_needed = prev_l | slab_live | next_l
+    return jnp.transpose(cell_live), jnp.transpose(pos_needed)
+
+
+def _make_composite_kernel(NP, Pb, Qn, nv, C, ncoeff, relu_sigma, with_diffuse,
+                           exit_eps):
     """Fused v-resample + SH fold + trapezoid composite; grid=(PB, NP) — the
-    position axis is innermost so carries persist in scratch per u-block."""
+    position axis is innermost so carries persist in scratch per u-block.
+    Occupancy flags skip the matmul for positions with no adjacent live cell
+    and the composite for exactly-zero cells; exit_eps > 0 additionally skips
+    a block's remaining positions once its max transmittance falls below it."""
     SROWS, PROWS = _sprows(with_diffuse)
     LROW = PROWS - 1
 
-    def kernel(geom_ref, t1_ref, rvt_ref, yb_ref, lu_ref, lv_ref, norm_ref,
-               out_ref, prev_ref, state_ref):
+    def kernel(geom_ref, cl_ref, pn_ref, t1_ref, rvt_ref, yb_ref, lu_ref,
+               lv_ref, norm_ref, out_ref, prev_ref, state_ref):
+        pb = pl.program_id(0)
         j = pl.program_id(1)
-        vals = jnp.dot(
-            t1_ref[0].reshape(C * Pb, nv), rvt_ref[0],
-            preferred_element_type=jnp.float32,
-        )
-        livem = lu_ref[0] * lv_ref[0]  # [Pb, 1] * [1, Qn]
-        sig = vals[3 * ncoeff * Pb:(3 * ncoeff + 1) * Pb, :]
-
-        def fold(colour, coeffs):
-            acc = yb_ref[0] * vals[(colour * ncoeff) * Pb:(colour * ncoeff + 1) * Pb]
-            for k in range(1, coeffs):
-                ch = colour * ncoeff + k
-                acc += yb_ref[k] * vals[ch * Pb:(ch + 1) * Pb]
-            return acc
-
-        rgb = [fold(c, ncoeff) for c in range(3)]
-        if with_diffuse:
-            dif = [fold(c, 1) for c in range(3)]
 
         @pl.when(j == 0)
         def _():
             state_ref[...] = jnp.zeros_like(state_ref)
             state_ref[0] = jnp.ones((Pb, Qn), jnp.float32)
 
-        @pl.when(j > 0)
+        work = pn_ref[pb, j] > 0
+        if exit_eps > 0.0:
+            work = work & (jnp.max(state_ref[0]) > exit_eps)
+
+        @pl.when(work)
         def _():
-            sig_a = prev_ref[0]
-            integ, tbar, _, _ = _relu_trap(sig_a, sig, relu_sigma)
-            integ = integ * (prev_ref[LROW] * livem)
-            cell_step = geom_ref[j, 1]
-            delta = cell_step * norm_ref[...]
-            alpha = 1.0 - jnp.exp(-integ * delta)
-            T = state_ref[0]
-            w = alpha * T
-            s_b = geom_ref[j, 0]
-            s_mid = (s_b - cell_step + tbar * cell_step) * norm_ref[...]
-            tb1 = 1.0 - tbar
+            vals = jnp.dot(
+                t1_ref[0].reshape(C * Pb, nv), rvt_ref[0],
+                preferred_element_type=jnp.float32,
+            )
+            livem = lu_ref[0] * lv_ref[0]  # [Pb, 1] * [1, Qn]
+            sig = vals[3 * ncoeff * Pb:(3 * ncoeff + 1) * Pb, :]
+
+            def fold(colour, coeffs):
+                acc = yb_ref[0] * vals[
+                    (colour * ncoeff) * Pb:(colour * ncoeff + 1) * Pb
+                ]
+                for k in range(1, coeffs):
+                    ch = colour * ncoeff + k
+                    acc += yb_ref[k] * vals[ch * Pb:(ch + 1) * Pb]
+                return acc
+
+            rgb = [fold(c, ncoeff) for c in range(3)]
+            if with_diffuse:
+                dif = [fold(c, 1) for c in range(3)]
+
+            @pl.when((j > 0) & (cl_ref[pb, j] > 0))
+            def _():
+                sig_a = prev_ref[0]
+                integ, tbar, _, _ = _relu_trap(sig_a, sig, relu_sigma)
+                integ = integ * (prev_ref[LROW] * livem)
+                cell_step = geom_ref[j, 1]
+                delta = cell_step * norm_ref[...]
+                alpha = 1.0 - jnp.exp(-integ * delta)
+                T = state_ref[0]
+                w = alpha * T
+                s_b = geom_ref[j, 0]
+                s_mid = (s_b - cell_step + tbar * cell_step) * norm_ref[...]
+                tb1 = 1.0 - tbar
+                for c in range(3):
+                    mraw = tb1 * prev_ref[1 + c] + tbar * rgb[c]
+                    state_ref[1 + c] += jax.nn.sigmoid(mraw) * w
+                state_ref[4] += w
+                state_ref[5] += w * s_mid
+                if with_diffuse:
+                    for c in range(3):
+                        mraw = tb1 * prev_ref[4 + c] + tbar * dif[c]
+                        state_ref[6 + c] += jax.nn.sigmoid(mraw) * w
+                state_ref[0] = T * (1.0 - alpha)
+
+            prev_ref[0] = sig
             for c in range(3):
-                mraw = tb1 * prev_ref[1 + c] + tbar * rgb[c]
-                state_ref[1 + c] += jax.nn.sigmoid(mraw) * w
-            state_ref[4] += w
-            state_ref[5] += w * s_mid
+                prev_ref[1 + c] = rgb[c]
             if with_diffuse:
                 for c in range(3):
-                    mraw = tb1 * prev_ref[4 + c] + tbar * dif[c]
-                    state_ref[6 + c] += jax.nn.sigmoid(mraw) * w
-            state_ref[0] = T * (1.0 - alpha)
-
-        prev_ref[0] = sig
-        for c in range(3):
-            prev_ref[1 + c] = rgb[c]
-        if with_diffuse:
-            for c in range(3):
-                prev_ref[4 + c] = dif[c]
-        prev_ref[LROW] = jnp.broadcast_to(livem, (Pb, Qn))
+                    prev_ref[4 + c] = dif[c]
+            prev_ref[LROW] = jnp.broadcast_to(livem, (Pb, Qn))
 
         @pl.when(j == NP - 1)
         def _():
@@ -298,25 +349,34 @@ def _make_composite_kernel(NP, Pb, Qn, nv, C, ncoeff, relu_sigma, with_diffuse):
 
 
 def composite_positions(t1, rvt, ybasis, live_u, live_v, norm, geom, statics,
-                        Pn, Qn, PB, Pb):
+                        Pn, Qn, PB, Pb, occupancy=None):
     """Run the fused composite kernel over the position stack.
 
     t1 [NP, C, Pn, nv] bf16, rvt [NP, nv, Qn] bf16, ybasis [ncoeff, Pn, Qn]
     f32, live_u [NP, Pn, 1] f32, live_v [NP, 1, Qn] f32, norm [Pn, Qn] f32,
-    geom [NP, 8] f32 (s_j, cell_step). Returns [SROWS, Pn, Qn] f32 composited
-    state: rows (T, colour rgb, acc, depth[, diffuse rgb])."""
+    geom [NP, 8] f32 (s_j, cell_step), occupancy = optional
+    (cell_live, pos_needed) [PB, NP] i32 pair from gnomonic_occupancy (None =
+    everything live). Returns [SROWS, Pn, Qn] f32 composited state: rows
+    (T, colour rgb, acc, depth[, diffuse rgb])."""
     NP = t1.shape[0]
     nv = t1.shape[3]
     C = _padded_channels(statics)
+    if occupancy is None:
+        cell_live = jnp.ones((PB, NP), jnp.int32)
+        pos_needed = jnp.ones((PB, NP), jnp.int32)
+    else:
+        cell_live, pos_needed = occupancy
     kernel, SROWS, PROWS = _make_composite_kernel(
         NP, Pb, Qn, nv, C, statics.ncoeff, statics.relu_sigma,
-        statics.with_diffuse,
+        statics.with_diffuse, statics.exit_eps,
     )
     return pl.pallas_call(
         kernel,
         grid=(PB, NP),
         in_specs=[
             pl.BlockSpec((NP, 8), lambda pb, t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((PB, NP), lambda pb, t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((PB, NP), lambda pb, t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, C, Pb, nv), lambda pb, t: (t, 0, pb, 0)),
             pl.BlockSpec((1, nv, Qn), lambda pb, t: (t, 0, 0)),
             pl.BlockSpec((statics.ncoeff, Pb, Qn), lambda pb, t: (0, pb, 0)),
@@ -334,7 +394,7 @@ def composite_positions(t1, rvt, ybasis, live_u, live_v, norm, geom, statics,
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=statics.interpret,
-    )(geom, t1, rvt, ybasis, live_u, live_v, norm)
+    )(geom, cell_live, pos_needed, t1, rvt, ybasis, live_u, live_v, norm)
 
 
 # ------------------------------------------------------------------ pipeline
@@ -483,9 +543,10 @@ def _march_gnomonic(
         rotation, origin, statics, height, width, focal, supersample
     )
     t1 = resample_u(slices, geo.Ru)
+    occupancy = gnomonic_occupancy(slices, geo.Ru, statics, PB, Pb)
     state = composite_positions(
         t1, geo.RvT, geo.ybasis, geo.live_u, geo.live_v, geo.norm, geo.geom,
-        statics, Pn, Qn, PB, Pb,
+        statics, Pn, Qn, PB, Pb, occupancy=occupancy,
     )
     return state, geo.xr, geo.yr
 
@@ -641,6 +702,7 @@ def render_image_gnomonic(
         flip,
         with_diffuse=want_diffuse,
         pos_per_cell=getattr(config, "gnomonic_pos_per_cell", 0),
+        exit_eps=float(getattr(config, "gnomonic_exit_eps", 0.0)),
         interpret=interpret,
     )
     supersample = float(

@@ -48,6 +48,7 @@ from thr3ed_atom_tpu.rendering.gnomonic import (
     _num_positions,
     composite_positions,
     gnomonic_geometry,
+    gnomonic_occupancy,
     repack_position_slices,
     resample_u,
     statics_for_grid,
@@ -104,13 +105,18 @@ def _make_backward_kernel(NP, Pb, Qn, nv, C, ncoeff, relu_sigma, with_diffuse):
     """Replay VJP over positions; grid=(PB, NP + 1). Iteration j recomputes
     position min(j, NP-1) and cell j; position j-1's completed cotangent is
     folded to dvals and matmul'd to dt1[j-1] (the extra final iteration
-    flushes position NP-1)."""
+    flushes position NP-1). Occupancy flags (gnomonic_occupancy) skip both
+    matmuls for iterations whose position AND output are dead — exactly
+    gradient-lossless (a both-endpoints-empty cell has identically zero
+    integral and zero density gradient)."""
     SROWS, PROWS = _sprows(with_diffuse)
     LROW = PROWS - 1
     NDM = PROWS - 1  # pending rows: dsig + drgb*3 (+ ddif*3)
 
-    def kernel(geom_ref, t1_ref, rvt_ref, rv_ref, yb_ref, lu_ref, lv_ref,
-               norm_ref, gaux_ref, dt1_ref, prev_ref, pend_ref, carry_ref):
+    def kernel(geom_ref, cl_ref, pn_ref, t1_ref, rvt_ref, rv_ref, yb_ref,
+               lu_ref, lv_ref, norm_ref, gaux_ref, dt1_ref, prev_ref,
+               pend_ref, carry_ref):
+        pb = pl.program_id(0)
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -119,6 +125,31 @@ def _make_backward_kernel(NP, Pb, Qn, nv, C, ncoeff, relu_sigma, with_diffuse):
             carry_ref[1] = jnp.zeros((Pb, Qn), jnp.float32)  # inner prefix
             pend_ref[...] = jnp.zeros_like(pend_ref)
 
+        jc = jnp.minimum(j, NP - 1)  # geom/flag rows are [NP]; j reaches NP
+        jp = jnp.maximum(j - 1, 0)
+        live_replay = pn_ref[pb, jc] > 0  # position j feeds a live cell
+        live_out = (j > 0) & (pn_ref[pb, jp] > 0)  # dt1[j-1] is nonzero
+        work = live_replay | live_out
+
+        @pl.when(jnp.logical_not(work))
+        def _():
+            # dead iteration: the output block must still be written, and the
+            # pending rows must reflect cell j's (zero) b-side contribution
+            pend_ref[...] = jnp.zeros_like(pend_ref)
+
+            @pl.when(j > 0)
+            def _():
+                dt1_ref[...] = jnp.zeros_like(dt1_ref)
+
+        @pl.when(work)
+        def _():
+            _work_body(geom_ref, cl_ref, t1_ref, rvt_ref, rv_ref, yb_ref,
+                       lu_ref, lv_ref, norm_ref, gaux_ref, dt1_ref, prev_ref,
+                       pend_ref, carry_ref, j, jc, pb)
+
+    def _work_body(geom_ref, cl_ref, t1_ref, rvt_ref, rv_ref, yb_ref, lu_ref,
+                   lv_ref, norm_ref, gaux_ref, dt1_ref, prev_ref, pend_ref,
+                   carry_ref, j, jc, pb):
         # ---- replay position jj = min(j, NP-1) (garbage-masked for j == NP)
         vals = jnp.dot(
             t1_ref[0].reshape(C * Pb, nv), rvt_ref[0],
@@ -137,7 +168,7 @@ def _make_backward_kernel(NP, Pb, Qn, nv, C, ncoeff, relu_sigma, with_diffuse):
         rgb = [fold(c, ncoeff) for c in range(3)]
         dif = [fold(c, 1) for c in range(3)] if with_diffuse else []
 
-        cell_on = (j > 0) & (j < NP)
+        cell_on = (j > 0) & (j < NP) & (cl_ref[pb, jc] > 0)
 
         def m(x):  # mask with select (safe against garbage NaNs at j == 0 / NP)
             return jnp.where(cell_on, x, jnp.zeros_like(x))
@@ -147,7 +178,6 @@ def _make_backward_kernel(NP, Pb, Qn, nv, C, ncoeff, relu_sigma, with_diffuse):
         live_pair = prev_ref[LROW] * livem
         integ_raw, tbar, dIda, dIdb = _relu_trap(sig_a, sig, relu_sigma)
         integ = integ_raw * live_pair
-        jc = jnp.minimum(j, NP - 1)  # geom_ref is [NP, 8]; j reaches NP
         cell_step = geom_ref[jc, 1]
         delta = cell_step * norm_ref[...]
         e = jnp.exp(-integ * delta)
@@ -245,10 +275,15 @@ def _make_backward_kernel(NP, Pb, Qn, nv, C, ncoeff, relu_sigma, with_diffuse):
 
 
 def _composite_backward(t1, rvt, rv, ybasis, live_u, live_v, norm, geom, gaux,
-                        statics, Pn, Qn, PB, Pb):
+                        occupancy, statics, Pn, Qn, PB, Pb):
     NP = t1.shape[0]
     nv = t1.shape[3]
     C = _padded_channels(statics)
+    if occupancy is None:
+        cell_live = jnp.ones((PB, NP), jnp.int32)
+        pos_needed = jnp.ones((PB, NP), jnp.int32)
+    else:
+        cell_live, pos_needed = occupancy
     kernel, SROWS, NDM = _make_backward_kernel(
         NP, Pb, Qn, nv, C, statics.ncoeff, statics.relu_sigma,
         statics.with_diffuse,
@@ -260,6 +295,8 @@ def _composite_backward(t1, rvt, rv, ybasis, live_u, live_v, norm, geom, gaux,
         grid=(PB, NP + 1),
         in_specs=[
             pl.BlockSpec((NP, 8), lambda pb, t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((PB, NP), lambda pb, t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((PB, NP), lambda pb, t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, C, Pb, nv), lambda pb, t: (jnp.minimum(t, last), 0, pb, 0)
             ),
@@ -286,32 +323,40 @@ def _composite_backward(t1, rvt, rv, ybasis, live_u, live_v, norm, geom, gaux,
             vmem_limit_bytes=120 * 1024 * 1024
         ),
         interpret=statics.interpret,
-    )(geom, t1, rvt, rv, ybasis, live_u, live_v, norm, gaux)
+    )(geom, cell_live, pos_needed, t1, rvt, rv, ybasis, live_u, live_v, norm,
+      gaux)
 
 
 # --------------------------------------------------------------- custom VJP
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
 def composite_positions_diff(t1, rvt, rv, ybasis, live_u, live_v, norm, geom,
+                             cell_live, pos_needed,
                              statics: GnomonicStatics, Pn, Qn, PB, Pb):
     """composite_positions with a hand-written replay VJP wrt t1 (the only
-    grid-dependent input; every other operand is pose geometry)."""
+    grid-dependent input; every other operand is pose geometry). The
+    (cell_live, pos_needed) occupancy flags gate both directions — exactly
+    lossless (see gnomonic_occupancy)."""
     return composite_positions(
-        t1, rvt, ybasis, live_u, live_v, norm, geom, statics, Pn, Qn, PB, Pb
+        t1, rvt, ybasis, live_u, live_v, norm, geom, statics, Pn, Qn, PB, Pb,
+        occupancy=(cell_live, pos_needed),
     )
 
 
-def _cp_fwd(t1, rvt, rv, ybasis, live_u, live_v, norm, geom,
-            statics, Pn, Qn, PB, Pb):
+def _cp_fwd(t1, rvt, rv, ybasis, live_u, live_v, norm, geom, cell_live,
+            pos_needed, statics, Pn, Qn, PB, Pb):
     state = composite_positions(
-        t1, rvt, ybasis, live_u, live_v, norm, geom, statics, Pn, Qn, PB, Pb
+        t1, rvt, ybasis, live_u, live_v, norm, geom, statics, Pn, Qn, PB, Pb,
+        occupancy=(cell_live, pos_needed),
     )
-    return state, (t1, rvt, rv, ybasis, live_u, live_v, norm, geom, state)
+    return state, (t1, rvt, rv, ybasis, live_u, live_v, norm, geom, cell_live,
+                   pos_needed, state)
 
 
 def _cp_bwd(statics, Pn, Qn, PB, Pb, res, gstate):
-    t1, rvt, rv, ybasis, live_u, live_v, norm, geom, state = res
+    (t1, rvt, rv, ybasis, live_u, live_v, norm, geom, cell_live, pos_needed,
+     state) = res
     # S_total = sum_k G_k w_k over every payload row (colour, acc, depth,
     # diffuse) — an elementwise inner product of the forward output with its
     # cotangent, per texel
@@ -319,10 +364,11 @@ def _cp_bwd(statics, Pn, Qn, PB, Pb, res, gstate):
     gaux = jnp.concatenate([gstate, S_total[None], state[0:1]], axis=0)
     dt1 = _composite_backward(
         t1, rvt, rv, ybasis, live_u, live_v, norm, geom, gaux,
-        statics, Pn, Qn, PB, Pb,
+        (cell_live, pos_needed), statics, Pn, Qn, PB, Pb,
     )
     z = jnp.zeros_like
-    return (dt1, z(rvt), z(rv), z(ybasis), z(live_u), z(live_v), z(norm), z(geom))
+    return (dt1, z(rvt), z(rv), z(ybasis), z(live_u), z(live_v), z(norm),
+            z(geom), z(cell_live), z(pos_needed))
 
 
 composite_positions_diff.defvjp(_cp_fwd, _cp_bwd)
@@ -394,9 +440,12 @@ def render_pose_diff(voxel_grid: VoxelGrid, rotation, origin, focal,
     rv = jnp.swapaxes(geo.RvT, 1, 2)
     slices = repack_position_slices(voxel_grid, statics)
     t1 = resample_u(slices, geo.Ru)
+    cell_live, pos_needed = jax.lax.stop_gradient(
+        gnomonic_occupancy(slices, geo.Ru, statics, PB, Pb)
+    )
     state = composite_positions_diff(
         t1, geo.RvT, rv, geo.ybasis, geo.live_u, geo.live_v, geo.norm,
-        geo.geom, statics, Pn, Qn, PB, Pb,
+        geo.geom, cell_live, pos_needed, statics, Pn, Qn, PB, Pb,
     )
     return _warp_to_camera(
         state, geo.xr, geo.yr, rotation, statics, tstat.height, tstat.width,

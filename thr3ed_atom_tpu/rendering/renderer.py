@@ -98,6 +98,9 @@ class SHVoxGridRenderConfig:
     # (default; C1 reconstruction, clears the bilinear warp's quality ceiling),
     # 1 = bilinear (cheapest)
     gnomonic_warp_order: int = 3
+    # per-u-block early exit threshold on transmittance for gnomonic renders
+    # (0 disables; the training path always uses 0 so the VJP replay is exact)
+    gnomonic_exit_eps: float = 1e-4
 
     def replace(self, **overrides) -> "SHVoxGridRenderConfig":
         return dataclasses.replace(self, **overrides)
