@@ -104,13 +104,11 @@ def test_composite_vjp_matches_reference_autodiff(with_diffuse, relu_sigma, ncoe
         ncoeff=ncoeff, relu_sigma=relu_sigma, with_diffuse=with_diffuse,
         pos_per_cell=1, interpret=True,
     )
-    rv = jnp.swapaxes(rvt, 1, 2)
-
     ones = jnp.ones((1, NP), jnp.int32)
 
     def loss_kernel(t1_):
         state = gt.composite_positions_diff(
-            t1_, rvt, rv, ybasis, live_u, live_v, norm, geom, ones, ones,
+            t1_, rvt, ybasis, live_u, live_v, norm, geom, ones, ones,
             statics, Pn, Qn, 1, Pn,
         )
         return jnp.sum(gw * state)

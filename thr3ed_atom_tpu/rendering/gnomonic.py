@@ -174,13 +174,24 @@ def gnomonic_frame(rotation: np.ndarray, height: int, width: int, focal: float,
     kernel blocking. The float ranges are computed in-jit (dynamic) so one
     program serves every pose of an (axis, flip) variant."""
     del rotation, focal
+    Pn_raw, Qn, nv, C = frame_rounding(height, width, supersample, statics)
+    PB, Pb, Pn = _p_blocking(Pn_raw, Qn, nv, C, statics.with_diffuse,
+                             statics.ncoeff)
+    return Pn, Qn, PB, Pb
+
+
+def frame_rounding(height: int, width: int, supersample: float,
+                   statics: GnomonicStatics):
+    """Shared texel-grid rounding rules (8-sublane u, 128-lane v) and channel
+    padding, used by both the render (_p_blocking) and train
+    (gnomonic_train._p_blocking_train) frame planners — one copy so the two
+    pipelines can never desynchronize. Returns (Pn_raw, Qn, nv, C)."""
     Pn_raw = -(-int(math.ceil(width * supersample)) // 8) * 8
     Qn = -(-int(math.ceil(height * supersample)) // 128) * 128
     _, v_ax = _uv_axes(statics.axis)
     nv = statics.dims[v_ax]
     C = _padded_channels(statics)
-    PB, Pb, Pn = _p_blocking(Pn_raw, Qn, nv, C, statics.with_diffuse)
-    return Pn, Qn, PB, Pb
+    return Pn_raw, Qn, nv, C
 
 
 def _corner_ranges(rotation, height, width, focal, statics):
@@ -212,7 +223,8 @@ def _sprows(with_diffuse: bool) -> Tuple[int, int]:
     return SROWS, PROWS
 
 
-def _p_blocking(Pn_raw: int, Qn: int, nv: int, C: int, with_diffuse: bool):
+def _p_blocking(Pn_raw: int, Qn: int, nv: int, C: int, with_diffuse: bool,
+                ncoeff: int = 9):
     """Split the u-dimension into PB blocks so the kernel's VMEM working set
     (the [C*Pb, Qn] f32 values + carries + double-buffered t1) stays bounded.
     Returns (PB, Pb, Pn) with Pn = PB * Pb rounded up from Pn_raw."""
@@ -224,7 +236,9 @@ def _p_blocking(Pn_raw: int, Qn: int, nv: int, C: int, with_diffuse: bool):
         est = (
             4 * C * Pb * Qn  # vals
             + 4 * (SROWS * 2 + PROWS) * Pb * Qn  # state + out + prev
-            + 4 * 9 * Pb * Qn  # ybasis block
+            # ybasis block is [ncoeff, Pb, Qn] (16 rows at SH degree 3);
+            # max() keeps degree<=2 blocking identical to the measured config
+            + 4 * max(9, ncoeff) * Pb * Qn
             + 2 * 2 * C * Pb * nv  # t1 double buffer
         )
         if est <= budget or PB >= 64:

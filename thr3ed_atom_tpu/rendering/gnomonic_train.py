@@ -47,6 +47,7 @@ from thr3ed_atom_tpu.rendering.gnomonic import (
     _sprows,
     _num_positions,
     composite_positions,
+    frame_rounding,
     gnomonic_geometry,
     gnomonic_occupancy,
     repack_position_slices,
@@ -54,6 +55,7 @@ from thr3ed_atom_tpu.rendering.gnomonic import (
     statics_for_grid,
     _warp_to_camera,
 )
+from thr3ed_atom_tpu.utils.constants import EXTRA_DIFFUSE_COLOUR
 from thr3ed_atom_tpu.utils.metrics import mse2psnr
 
 
@@ -84,16 +86,10 @@ def _p_blocking_train(Pn_raw: int, Qn: int, nv: int, C: int, with_diffuse: bool)
 
 def gnomonic_frame_train(height: int, width: int, supersample: float,
                          statics: GnomonicStatics):
-    """(Pn, Qn, PB, Pb) for the training pipeline (backward-sized blocking)."""
-    import math
-
-    Pn_raw = -(-int(math.ceil(width * supersample)) // 8) * 8
-    Qn = -(-int(math.ceil(height * supersample)) // 128) * 128
-    from thr3ed_atom_tpu.rendering.bricked import _uv_axes
-
-    _, v_ax = _uv_axes(statics.axis)
-    nv = statics.dims[v_ax]
-    C = _padded_channels(statics)
+    """(Pn, Qn, PB, Pb) for the training pipeline (backward-sized blocking).
+    Texel rounding is shared with the render frame (gnomonic.frame_rounding);
+    only the VMEM blocking differs (the replay backward carries more rows)."""
+    Pn_raw, Qn, nv, C = frame_rounding(height, width, supersample, statics)
     PB, Pb, Pn = _p_blocking_train(Pn_raw, Qn, nv, C, statics.with_diffuse)
     return Pn, Qn, PB, Pb
 
@@ -274,8 +270,9 @@ def _make_backward_kernel(NP, Pb, Qn, nv, C, ncoeff, relu_sigma, with_diffuse):
     return kernel, SROWS, NDM
 
 
-def _composite_backward(t1, rvt, rv, ybasis, live_u, live_v, norm, geom, gaux,
+def _composite_backward(t1, rvt, ybasis, live_u, live_v, norm, geom, gaux,
                         occupancy, statics, Pn, Qn, PB, Pb):
+    rv = jnp.swapaxes(rvt, 1, 2)  # v-tents in dt1-contraction orientation
     NP = t1.shape[0]
     nv = t1.shape[3]
     C = _padded_channels(statics)
@@ -330,8 +327,8 @@ def _composite_backward(t1, rvt, rv, ybasis, live_u, live_v, norm, geom, gaux,
 # --------------------------------------------------------------- custom VJP
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
-def composite_positions_diff(t1, rvt, rv, ybasis, live_u, live_v, norm, geom,
+@partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+def composite_positions_diff(t1, rvt, ybasis, live_u, live_v, norm, geom,
                              cell_live, pos_needed,
                              statics: GnomonicStatics, Pn, Qn, PB, Pb):
     """composite_positions with a hand-written replay VJP wrt t1 (the only
@@ -344,18 +341,18 @@ def composite_positions_diff(t1, rvt, rv, ybasis, live_u, live_v, norm, geom,
     )
 
 
-def _cp_fwd(t1, rvt, rv, ybasis, live_u, live_v, norm, geom, cell_live,
+def _cp_fwd(t1, rvt, ybasis, live_u, live_v, norm, geom, cell_live,
             pos_needed, statics, Pn, Qn, PB, Pb):
     state = composite_positions(
         t1, rvt, ybasis, live_u, live_v, norm, geom, statics, Pn, Qn, PB, Pb,
         occupancy=(cell_live, pos_needed),
     )
-    return state, (t1, rvt, rv, ybasis, live_u, live_v, norm, geom, cell_live,
+    return state, (t1, rvt, ybasis, live_u, live_v, norm, geom, cell_live,
                    pos_needed, state)
 
 
 def _cp_bwd(statics, Pn, Qn, PB, Pb, res, gstate):
-    (t1, rvt, rv, ybasis, live_u, live_v, norm, geom, cell_live, pos_needed,
+    (t1, rvt, ybasis, live_u, live_v, norm, geom, cell_live, pos_needed,
      state) = res
     # S_total = sum_k G_k w_k over every payload row (colour, acc, depth,
     # diffuse) — an elementwise inner product of the forward output with its
@@ -363,11 +360,11 @@ def _cp_bwd(statics, Pn, Qn, PB, Pb, res, gstate):
     S_total = jnp.sum(gstate[1:] * state[1:], axis=0)
     gaux = jnp.concatenate([gstate, S_total[None], state[0:1]], axis=0)
     dt1 = _composite_backward(
-        t1, rvt, rv, ybasis, live_u, live_v, norm, geom, gaux,
+        t1, rvt, ybasis, live_u, live_v, norm, geom, gaux,
         (cell_live, pos_needed), statics, Pn, Qn, PB, Pb,
     )
     z = jnp.zeros_like
-    return (dt1, z(rvt), z(rv), z(ybasis), z(live_u), z(live_v), z(norm),
+    return (dt1, z(rvt), z(ybasis), z(live_u), z(live_v), z(norm),
             z(geom), z(cell_live), z(pos_needed))
 
 
@@ -437,14 +434,13 @@ def render_pose_diff(voxel_grid: VoxelGrid, rotation, origin, focal,
             tstat.supersample, frame=(Pn, Qn),
         )
     )
-    rv = jnp.swapaxes(geo.RvT, 1, 2)
     slices = repack_position_slices(voxel_grid, statics)
     t1 = resample_u(slices, geo.Ru)
     cell_live, pos_needed = jax.lax.stop_gradient(
         gnomonic_occupancy(slices, geo.Ru, statics, PB, Pb)
     )
     state = composite_positions_diff(
-        t1, geo.RvT, rv, geo.ybasis, geo.live_u, geo.live_v, geo.norm,
+        t1, geo.RvT, geo.ybasis, geo.live_u, geo.live_v, geo.norm,
         geo.geom, cell_live, pos_needed, statics, Pn, Qn, PB, Pb,
     )
     return _warp_to_camera(
@@ -468,7 +464,7 @@ def _pose_loss(tstat: GnomonicTrainStatics, g: VoxelGrid, image, rotation,
         "specular_psnr": mse2psnr(specular_mse),
     }
     if tstat.apply_diffuse_render_regularization:
-        diffuse = out.extra["diffuse_colour"]
+        diffuse = out.extra[EXTRA_DIFFUSE_COLOUR]
         diffuse_loss = jnp.mean(jnp.abs(diffuse - image))
         diffuse_mse = jnp.mean((diffuse - image) ** 2)
         total = total + diffuse_loss
