@@ -98,23 +98,33 @@ def main():
 
     print(f"grid {grid_size}^3, image {image_size}^2", flush=True)
     print(f"{'config':42s} {'minPSNR':>8s} {'ms/pose':>8s} {'Mrays/s':>8s}", flush=True)
-    for pos_per_cell in (1, 2, 3, 4):
-        for supersample in (1.25, 1.5):
-            for warp_order in (3,) if supersample == 1.25 else (1, 3):
-                cfg = dict(
-                    gnomonic_pos_per_cell=pos_per_cell,
-                    gnomonic_supersample=supersample,
-                    gnomonic_warp_order=warp_order,
-                )
-                vm, imgs = render_all(
-                    "render_sh_voxel_grid_gnomonic", quality_poses, 1024, **cfg
-                )
-                q = min(_psnr(x, e) for x, e in zip(imgs, exact))
-                t_pass = timed_pass(vm)
-                ms = t_pass / num_poses * 1e3
-                rps = num_poses * rays_per_pose / t_pass / 1e6
-                label = f"P={pos_per_cell} ss={supersample} warp={warp_order}"
-                print(f"{label:42s} {q:8.2f} {ms:8.2f} {rps:8.2f}", flush=True)
+    candidates = []
+    # quality x quadrature at the default frame; qb A/B (0 = whole-Qn
+    # stripes, 128/256 = q-split composite with finer occupancy/early-exit)
+    for pos_per_cell in (1, 2, 4):
+        for qb in (0, 128, 256):
+            candidates.append(dict(gnomonic_pos_per_cell=pos_per_cell,
+                                   gnomonic_supersample=1.25,
+                                   gnomonic_warp_order=3, gnomonic_qb=qb))
+    # the supersample lever (warp-quality ceiling) at the quality quadrature
+    for warp_order in (1, 3):
+        candidates.append(dict(gnomonic_pos_per_cell=2,
+                               gnomonic_supersample=1.5,
+                               gnomonic_warp_order=warp_order,
+                               gnomonic_qb=128))
+    for cfg in candidates:
+        vm, imgs = render_all(
+            "render_sh_voxel_grid_gnomonic", quality_poses, 1024, **cfg
+        )
+        q = min(_psnr(x, e) for x, e in zip(imgs, exact))
+        t_pass = timed_pass(vm)
+        ms = t_pass / num_poses * 1e3
+        rps = num_poses * rays_per_pose / t_pass / 1e6
+        label = (f"P={cfg['gnomonic_pos_per_cell']} "
+                 f"ss={cfg['gnomonic_supersample']} "
+                 f"warp={cfg['gnomonic_warp_order']} "
+                 f"qb={cfg['gnomonic_qb']}")
+        print(f"{label:42s} {q:8.2f} {ms:8.2f} {rps:8.2f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -427,3 +427,75 @@ def test_auto_pos_per_cell(key):
     )
     statics = gn.statics_for_grid(g129, 0, False, pos_per_cell=0)
     assert statics.pos_per_cell == 2
+
+
+@pytest.mark.parametrize("diffuse,P", [(False, 1), (True, 2)])
+def test_qb_split_matches_stripe_kernel(key, diffuse, P):
+    """The q-split composite (gnomonic_qb=128: grid (PB, NP, QB), per-[Pb, qb]
+    occupancy + early exit) produces the same image as the whole-stripe kernel.
+    With exit_eps=0 the per-texel arithmetic is identical — results must match
+    exactly; with exit_eps>0 the finer exit grain may stop earlier, bounded by
+    eps. Frame is sized so Qn = 256 -> QB = 2 (a real split)."""
+    import dataclasses
+
+    grid = _make_grid(key, size=16, post="relu")
+    coords = jnp.stack(jnp.meshgrid(*[jnp.arange(16)] * 3, indexing="ij"), -1)
+    dist = jnp.linalg.norm(coords - 7.5, axis=-1, keepdims=True)
+    mask = (dist < 4.0).astype(jnp.float32)
+    grid = dataclasses.replace(
+        grid, densities=jnp.where(mask > 0, grid.densities, -1.0)
+    )
+    pose = pose_spherical(140.0, -30.0, 3.5)
+    H = W = 128
+    intr = CameraIntrinsics(H, W, 140.0)
+
+    base = dict(white_bkgd=True, gnomonic_pos_per_cell=P,
+                also_render_diffuse=diffuse)
+    out_stripe = gn.render_image_gnomonic(
+        grid, pose, intr,
+        _config(gnomonic_exit_eps=0.0, gnomonic_qb=0, **base), interpret=True,
+    )
+    out_qb = gn.render_image_gnomonic(
+        grid, pose, intr,
+        _config(gnomonic_exit_eps=0.0, gnomonic_qb=128, **base),
+        interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_stripe.colour), np.asarray(out_qb.colour)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_stripe.depth), np.asarray(out_qb.depth)
+    )
+    for k in out_stripe.extra:
+        np.testing.assert_array_equal(
+            np.asarray(out_stripe.extra[k]), np.asarray(out_qb.extra[k])
+        )
+
+    out_qb_exit = gn.render_image_gnomonic(
+        grid, pose, intr,
+        _config(gnomonic_exit_eps=1e-4, gnomonic_qb=128, **base),
+        interpret=True,
+    )
+    assert float(jnp.max(jnp.abs(out_qb_exit.colour - out_stripe.colour))) < 1e-3
+
+    # the q-split flags are a strict refinement: any-reduced over q-blocks
+    # they must cover exactly the stripe flags' live set (never more)
+    rotation = np.asarray(pose.rotation).reshape(3, 3)
+    axis, flip = dominant_axis_for_pose(rotation)
+    statics = gn.statics_for_grid(grid, axis, flip, with_diffuse=diffuse,
+                                  pos_per_cell=P, interpret=True, qb=128)
+    slices = gn.repack_position_slices(grid, statics)
+    Pn, Qn, PB, Pb = gn.gnomonic_frame(None, H, W, 140.0, 1.25, statics)
+    QB, Qb = gn._qb_blocks(statics, Qn)
+    assert QB == 2 and Qb == 128, (Qn, QB, Qb)
+    rot_j = jnp.asarray(rotation, jnp.float32)
+    origin = jnp.asarray(np.asarray(pose.translation).reshape(3), jnp.float32)
+    geo = gn.gnomonic_geometry(rot_j, origin, statics, H, W, 140.0, 1.25)
+    cl_s, pn_s = gn.gnomonic_occupancy(slices, geo.Ru, statics, PB, Pb)
+    cl_q, pn_q = gn.gnomonic_occupancy(slices, geo.Ru, statics, PB, Pb,
+                                       RvT=geo.RvT, QB=QB)
+    assert cl_q.shape == (PB, QB, slices.shape[0])
+    assert np.all(np.asarray(cl_q.max(axis=1) <= cl_s))
+    assert np.all(np.asarray(pn_q.max(axis=1) <= pn_s))
+    # and it actually skips more than the stripe grain on this carved scene
+    assert float(jnp.sum(pn_q)) < QB * float(jnp.sum(pn_s))

@@ -83,6 +83,13 @@ class GnomonicStatics(NamedTuple):
     # every texel's transmittance is below this (0 disables — the training
     # path keeps 0 so the replay VJP is exact)
     exit_eps: float = 0.0
+    # q-block width in texels (0 = whole-Qn stripes). When > 0 the composite
+    # grid gains an innermost q-block axis: occupancy skipping and early exit
+    # act at [Pb, qb] grain instead of full-height [Pb, Qn] stripes — on
+    # white-background scenes a stripe that mixes object and empty sky never
+    # exits (T stays 1 on empty texels), so the finer grain is where the
+    # converged-scene skip wins live. Must be a multiple of 128 (lane tiles).
+    qb: int = 0
 
 
 def statics_for_grid(
@@ -94,6 +101,7 @@ def statics_for_grid(
     pos_per_cell: int = 0,
     exit_eps: float = 0.0,
     interpret: bool = False,
+    qb: int = 0,
 ) -> GnomonicStatics:
     num_features = voxel_grid.num_features
     assert num_features % 3 == 0, "SH feature count must be 3 * (degree + 1)^2"
@@ -114,6 +122,7 @@ def statics_for_grid(
             1, min(8, 2 ** round(math.log2(max(1.0, 256 / n_cells))))
         )
     assert pos_per_cell in (1, 2, 4, 8), pos_per_cell
+    assert qb >= 0 and qb % 128 == 0, "gnomonic qb must be a multiple of 128"
     return GnomonicStatics(
         dims=tuple(dims),
         aabb=tuple((float(lo), float(hi)) for (lo, hi) in voxel_grid.aabb),
@@ -125,6 +134,7 @@ def statics_for_grid(
         pos_per_cell=int(pos_per_cell),
         interpret=bool(interpret),
         exit_eps=float(exit_eps),
+        qb=int(qb),
     )
 
 
@@ -246,26 +256,53 @@ def _p_blocking(Pn_raw: int, Qn: int, nv: int, C: int, with_diffuse: bool,
         PB *= 2
 
 
-def gnomonic_occupancy(slices, Ru, statics: GnomonicStatics, PB: int, Pb: int):
-    """Exact-zero skip flags per (u-block, position) — (cell_live, pos_needed),
-    both [PB, NP] int32.
+def _qb_blocks(statics: GnomonicStatics, Qn: int) -> Tuple[int, int]:
+    """(QB, Qb) for the composite grid's q axis: QB q-blocks of Qb texels.
+    statics.qb == 0, an indivisible Qn, or a single block all mean QB == 1
+    (the whole-stripe kernel)."""
+    qb = statics.qb
+    if qb <= 0 or Qn <= qb or Qn % qb != 0:
+        return 1, Qn
+    return Qn // qb, qb
+
+
+def gnomonic_occupancy(slices, Ru, statics: GnomonicStatics, PB: int, Pb: int,
+                       RvT=None, QB: int = 1):
+    """Exact-zero skip flags per (u-block[, q-block], position) —
+    (cell_live, pos_needed), both [PB, NP] int32 (QB == 1) or [PB, QB, NP]
+    (the q-split kernel).
 
     A cell's transmittance integral is EXACTLY zero when both endpoint planes
-    have no positive density anywhere in the u-range the block's tent rows
-    touch (the along-axis interpolant is a lerp of two non-positive planes,
-    so relu of it vanishes identically) — the same lossless rule as the
-    bricked kernel's occupancy, at (u-block x position) granularity.
-    ``pos_needed[j]`` marks positions adjacent to any live cell (their values
-    feed a live trapezoid); everything else skips the v-resample matmul."""
+    have no positive density anywhere in the (u, v) range the block's tent
+    rows touch (the along-axis interpolant is a lerp of two non-positive
+    planes, so relu of it vanishes identically) — the same lossless rule as
+    the bricked kernel's occupancy, at (u-block x q-block x position)
+    granularity. ``pos_needed[j]`` marks positions adjacent to any live cell
+    (their values feed a live trapezoid); everything else skips the
+    v-resample matmul."""
     NP = slices.shape[0]
     sig = slices[:, :, 3 * statics.ncoeff, :]  # [NP, nu, nv] pre-relu density
-    col_live = (jnp.max(sig, axis=-1) > 0.0).astype(jnp.float32)  # [NP, nu]
     # u-support of each block: any tent row of the block touching column u
     sup = (Ru > 0).astype(jnp.float32).reshape(NP, PB, Pb, -1).sum(axis=2)
-    slab_live = (
-        jnp.einsum("jbu,ju->jb", sup, col_live,
-                   preferred_element_type=jnp.float32) > 0.0
-    ).astype(jnp.int32)  # [NP, PB]
+    if QB == 1:
+        col_live = (jnp.max(sig, axis=-1) > 0.0).astype(jnp.float32)  # [NP, nu]
+        slab_live = (
+            jnp.einsum("jbu,ju->jb", sup, col_live,
+                       preferred_element_type=jnp.float32) > 0.0
+        ).astype(jnp.int32)  # [NP, PB]
+    else:
+        nv = sig.shape[-1]
+        Qb = RvT.shape[-1] // QB
+        # v-support of each q-block: any tent column of the block touching v
+        sup_v = (RvT > 0).astype(jnp.float32).reshape(NP, nv, QB, Qb).sum(3)
+        uq = jnp.einsum(
+            "juv,jvq->juq", (sig > 0.0).astype(jnp.float32), sup_v,
+            preferred_element_type=jnp.float32,
+        )  # [NP, nu, QB]
+        slab_live = (
+            jnp.einsum("jbu,juq->jbq", sup, uq,
+                       preferred_element_type=jnp.float32) > 0.0
+        ).astype(jnp.int32)  # [NP, PB, QB]
     prev_l = jnp.concatenate(
         [jnp.zeros((1,) + slab_live.shape[1:], jnp.int32), slab_live[:-1]], 0
     )
@@ -274,7 +311,8 @@ def gnomonic_occupancy(slices, Ru, statics: GnomonicStatics, PB: int, Pb: int):
     )
     cell_live = prev_l | slab_live  # cell j spans positions (j-1, j); j=0 unused
     pos_needed = prev_l | slab_live | next_l
-    return jnp.transpose(cell_live), jnp.transpose(pos_needed)
+    perm = (1, 0) if QB == 1 else (1, 2, 0)
+    return jnp.transpose(cell_live, perm), jnp.transpose(pos_needed, perm)
 
 
 def _make_composite_kernel(NP, Pb, Qn, nv, C, ncoeff, relu_sigma, with_diffuse,
@@ -362,6 +400,145 @@ def _make_composite_kernel(NP, Pb, Qn, nv, C, ncoeff, relu_sigma, with_diffuse,
     return kernel, SROWS, PROWS
 
 
+def _make_composite_kernel_qb(NP, Pb, Qb, nv, C, ncoeff, relu_sigma,
+                              with_diffuse, exit_eps):
+    """The q-split composite: grid=(PB, NP, QB) with the q-block axis
+    innermost. Carries live in [QB, rows, Pb, Qb] scratch indexed by the
+    leading (untiled) dim, so occupancy skipping and early exit act per
+    [Pb, Qb] block — 4x finer than the whole-stripe kernel at Qn = 512. The
+    t1 block's index map is constant in qb, so Pallas fetches it once per
+    (pb, j) (no extra HBM traffic for the values)."""
+    SROWS, PROWS = _sprows(with_diffuse)
+    LROW = PROWS - 1
+
+    def kernel(geom_ref, cl_ref, pn_ref, t1_ref, rvt_ref, yb_ref, lu_ref,
+               lv_ref, norm_ref, out_ref, prev_ref, state_ref):
+        pb = pl.program_id(0)
+        j = pl.program_id(1)
+        qb = pl.program_id(2)
+
+        @pl.when(j == 0)
+        def _():
+            state_ref[qb] = jnp.zeros((SROWS, Pb, Qb), jnp.float32)
+            state_ref[qb, 0] = jnp.ones((Pb, Qb), jnp.float32)
+
+        work = pn_ref[pb, qb, j] > 0
+        if exit_eps > 0.0:
+            work = work & (jnp.max(state_ref[qb, 0]) > exit_eps)
+
+        @pl.when(work)
+        def _():
+            vals = jnp.dot(
+                t1_ref[0].reshape(C * Pb, nv), rvt_ref[0, 0],
+                preferred_element_type=jnp.float32,
+            )
+            livem = lu_ref[0] * lv_ref[0, 0]  # [Pb, 1] * [1, Qb]
+            sig = vals[3 * ncoeff * Pb:(3 * ncoeff + 1) * Pb, :]
+
+            def fold(colour, coeffs):
+                acc = yb_ref[qb, 0] * vals[
+                    (colour * ncoeff) * Pb:(colour * ncoeff + 1) * Pb
+                ]
+                for k in range(1, coeffs):
+                    ch = colour * ncoeff + k
+                    acc += yb_ref[qb, k] * vals[ch * Pb:(ch + 1) * Pb]
+                return acc
+
+            rgb = [fold(c, ncoeff) for c in range(3)]
+            if with_diffuse:
+                dif = [fold(c, 1) for c in range(3)]
+
+            @pl.when((j > 0) & (cl_ref[pb, qb, j] > 0))
+            def _():
+                sig_a = prev_ref[qb, 0]
+                integ, tbar, _, _ = _relu_trap(sig_a, sig, relu_sigma)
+                integ = integ * (prev_ref[qb, LROW] * livem)
+                cell_step = geom_ref[j, 1]
+                delta = cell_step * norm_ref[qb]
+                alpha = 1.0 - jnp.exp(-integ * delta)
+                T = state_ref[qb, 0]
+                w = alpha * T
+                s_b = geom_ref[j, 0]
+                s_mid = (s_b - cell_step + tbar * cell_step) * norm_ref[qb]
+                tb1 = 1.0 - tbar
+                for c in range(3):
+                    mraw = tb1 * prev_ref[qb, 1 + c] + tbar * rgb[c]
+                    state_ref[qb, 1 + c] += jax.nn.sigmoid(mraw) * w
+                state_ref[qb, 4] += w
+                state_ref[qb, 5] += w * s_mid
+                if with_diffuse:
+                    for c in range(3):
+                        mraw = tb1 * prev_ref[qb, 4 + c] + tbar * dif[c]
+                        state_ref[qb, 6 + c] += jax.nn.sigmoid(mraw) * w
+                state_ref[qb, 0] = T * (1.0 - alpha)
+
+            prev_ref[qb, 0] = sig
+            for c in range(3):
+                prev_ref[qb, 1 + c] = rgb[c]
+            if with_diffuse:
+                for c in range(3):
+                    prev_ref[qb, 4 + c] = dif[c]
+            prev_ref[qb, LROW] = jnp.broadcast_to(livem, (Pb, Qb))
+
+        @pl.when(j == NP - 1)
+        def _():
+            out_ref[qb] = state_ref[qb]
+
+    return kernel, SROWS, PROWS
+
+
+def _composite_positions_qb(t1, rvt, ybasis, live_u, live_v, norm, geom,
+                            statics, Pn, Qn, PB, Pb, QB, Qb, cell_live,
+                            pos_needed):
+    """q-split variant of composite_positions. Q-wide operands are reshaped
+    to carry a leading q-block axis so every in-kernel access is a leading-dim
+    (untiled) index — no dynamic lane slicing anywhere."""
+    NP = t1.shape[0]
+    nv = t1.shape[3]
+    C = _padded_channels(statics)
+    kernel, SROWS, PROWS = _make_composite_kernel_qb(
+        NP, Pb, Qb, nv, C, statics.ncoeff, statics.relu_sigma,
+        statics.with_diffuse, statics.exit_eps,
+    )
+    rvt_q = jnp.transpose(rvt.reshape(NP, nv, QB, Qb), (0, 2, 1, 3))
+    yb_q = jnp.transpose(
+        ybasis.reshape(statics.ncoeff, Pn, QB, Qb), (2, 0, 1, 3)
+    )
+    lv_q = live_v.reshape(NP, QB, 1, Qb)
+    norm_q = jnp.transpose(norm.reshape(Pn, QB, Qb), (1, 0, 2))
+    out = pl.pallas_call(
+        kernel,
+        grid=(PB, NP, QB),
+        in_specs=[
+            pl.BlockSpec((NP, 8), lambda pb, t, qb: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((PB, QB, NP), lambda pb, t, qb: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((PB, QB, NP), lambda pb, t, qb: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, C, Pb, nv), lambda pb, t, qb: (t, 0, pb, 0)),
+            pl.BlockSpec((1, 1, nv, Qb), lambda pb, t, qb: (t, qb, 0, 0)),
+            pl.BlockSpec((QB, statics.ncoeff, Pb, Qb),
+                         lambda pb, t, qb: (0, 0, pb, 0)),
+            pl.BlockSpec((1, Pb, 1), lambda pb, t, qb: (t, pb, 0)),
+            pl.BlockSpec((1, 1, 1, Qb), lambda pb, t, qb: (t, qb, 0, 0)),
+            pl.BlockSpec((QB, Pb, Qb), lambda pb, t, qb: (0, pb, 0)),
+        ],
+        out_specs=pl.BlockSpec((QB, SROWS, Pb, Qb),
+                               lambda pb, t, qb: (0, 0, pb, 0)),
+        out_shape=jax.ShapeDtypeStruct((QB, SROWS, Pn, Qb), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((QB, PROWS, Pb, Qb), jnp.float32),
+            pltpu.VMEM((QB, SROWS, Pb, Qb), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=statics.interpret,
+    )(geom, cell_live, pos_needed, t1, rvt_q, yb_q, live_u, lv_q, norm_q)
+    return jnp.transpose(out, (1, 2, 0, 3)).reshape(SROWS, Pn, Qn)
+
+
 def composite_positions(t1, rvt, ybasis, live_u, live_v, norm, geom, statics,
                         Pn, Qn, PB, Pb, occupancy=None):
     """Run the fused composite kernel over the position stack.
@@ -375,11 +552,22 @@ def composite_positions(t1, rvt, ybasis, live_u, live_v, norm, geom, statics,
     NP = t1.shape[0]
     nv = t1.shape[3]
     C = _padded_channels(statics)
+    QB, Qb = _qb_blocks(statics, Qn)
     if occupancy is None:
-        cell_live = jnp.ones((PB, NP), jnp.int32)
-        pos_needed = jnp.ones((PB, NP), jnp.int32)
+        shape = (PB, NP) if QB == 1 else (PB, QB, NP)
+        cell_live = jnp.ones(shape, jnp.int32)
+        pos_needed = jnp.ones(shape, jnp.int32)
     else:
         cell_live, pos_needed = occupancy
+    if QB > 1:
+        assert cell_live.shape == (PB, QB, NP), (
+            "q-split composite needs [PB, QB, NP] occupancy flags "
+            "(gnomonic_occupancy(..., RvT=geo.RvT, QB=QB))"
+        )
+        return _composite_positions_qb(
+            t1, rvt, ybasis, live_u, live_v, norm, geom, statics, Pn, Qn,
+            PB, Pb, QB, Qb, cell_live, pos_needed,
+        )
     kernel, SROWS, PROWS = _make_composite_kernel(
         NP, Pb, Qn, nv, C, statics.ncoeff, statics.relu_sigma,
         statics.with_diffuse, statics.exit_eps,
@@ -557,7 +745,11 @@ def _march_gnomonic(
         rotation, origin, statics, height, width, focal, supersample
     )
     t1 = resample_u(slices, geo.Ru)
-    occupancy = gnomonic_occupancy(slices, geo.Ru, statics, PB, Pb)
+    QB, _Qb = _qb_blocks(statics, Qn)
+    occupancy = gnomonic_occupancy(
+        slices, geo.Ru, statics, PB, Pb,
+        RvT=geo.RvT if QB > 1 else None, QB=QB,
+    )
     state = composite_positions(
         t1, geo.RvT, geo.ybasis, geo.live_u, geo.live_v, geo.norm, geo.geom,
         statics, Pn, Qn, PB, Pb, occupancy=occupancy,
@@ -718,6 +910,7 @@ def render_image_gnomonic(
         pos_per_cell=getattr(config, "gnomonic_pos_per_cell", 0),
         exit_eps=float(getattr(config, "gnomonic_exit_eps", 0.0)),
         interpret=interpret,
+        qb=int(getattr(config, "gnomonic_qb", 0)),
     )
     supersample = float(
         getattr(config, "gnomonic_supersample", DEFAULT_SUPERSAMPLE)

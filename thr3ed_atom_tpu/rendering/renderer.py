@@ -101,6 +101,11 @@ class SHVoxGridRenderConfig:
     # per-u-block early exit threshold on transmittance for gnomonic renders
     # (0 disables; the training path always uses 0 so the VJP replay is exact)
     gnomonic_exit_eps: float = 1e-4
+    # q-block width (texels, multiple of 128; 0 = whole-Qn stripes): splits the
+    # composite grid's q axis so occupancy skipping and early exit act at
+    # [Pb, qb] grain — on white-background scenes full-height stripes mix
+    # object and sky (where T stays 1) and rarely skip
+    gnomonic_qb: int = 0
 
     def replace(self, **overrides) -> "SHVoxGridRenderConfig":
         return dataclasses.replace(self, **overrides)
