@@ -148,12 +148,14 @@ def main() -> None:
     state = {"grid": scene, "opt": tx.init(scene)}
     tstats = {}
 
+    qb = 128 if "--qb" in sys.argv else 0  # q-split A/B (gnomonic_qb=128)
+
     def tstat_for(p):
         v = dominant_axis_for_pose(poses_np[p][:, :3])
         if v not in tstats:
             tstats[v] = make_gnomonic_train_statics(
                 scene, v[0], v[1], image_height=IMAGE_SIZE,
-                image_width=IMAGE_SIZE, white_bkgd=True,
+                image_width=IMAGE_SIZE, white_bkgd=True, qb=qb,
             )
         return tstats[v]
 

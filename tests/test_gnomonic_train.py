@@ -223,7 +223,7 @@ def test_occupancy_gating_gradients_exactly_lossless():
     g_gated = jax.grad(loss)(grid)
     orig = gt.gnomonic_occupancy
     try:
-        gt.gnomonic_occupancy = lambda slices, Ru, statics, PB, Pb: (
+        gt.gnomonic_occupancy = lambda slices, Ru, statics, PB, Pb, **kw: (
             jnp.ones((PB, slices.shape[0]), jnp.int32),
             jnp.ones((PB, slices.shape[0]), jnp.int32),
         )
@@ -338,3 +338,104 @@ def test_render_pose_diff_matches_inference_render():
     # interpolation-level disagreement
     d = float(jnp.max(jnp.abs(out_t.colour - out_r.colour)))
     assert d < 2e-2, d
+
+
+@pytest.mark.parametrize("with_diffuse,ncoeff", [(True, 4), (False, 9)])
+def test_qb_split_backward_matches_stripe(with_diffuse, ncoeff):
+    """The q-split replay VJP (statics.qb=128, QB=2 at Qn=256) produces the
+    same dt1 cotangent as the whole-stripe backward: the per-texel math is
+    identical, only block partitioning changes, and the per-q-block partial
+    dt1 matmuls are accumulated in f32 before the single bf16 rounding, so
+    agreement is at bf16 resolution."""
+    key = jax.random.PRNGKey(7)
+    NP, Pn, Qn, nv = 6, 8, 256, 8
+    nf = 3 * ncoeff + 1
+    C = -(-nf // 8) * 8
+    ks = jax.random.split(key, 8)
+    t1 = (jax.random.normal(ks[0], (NP, C, Pn, nv)) * 0.5).astype(jnp.bfloat16)
+    rvt = jax.random.uniform(ks[1], (NP, nv, Qn)).astype(jnp.bfloat16)
+    ybasis = jax.random.normal(ks[2], (ncoeff, Pn, Qn)) * 0.5
+    live_u = (jax.random.uniform(ks[3], (NP, Pn, 1)) > 0.2).astype(jnp.float32)
+    live_v = (jax.random.uniform(ks[4], (NP, 1, Qn)) > 0.2).astype(jnp.float32)
+    norm = 1.0 + jax.random.uniform(ks[5], (Pn, Qn))
+    s_j = 1.0 + 0.3 * jnp.arange(NP, dtype=jnp.float32)
+    geom = jnp.stack([s_j, jnp.full((NP,), 0.3)] + [jnp.zeros(NP)] * 6, axis=-1)
+    SROWS = 9 if with_diffuse else 6
+    gw = jax.random.normal(ks[6], (SROWS, Pn, Qn))
+
+    def make_loss(qb, flags_shape):
+        statics = gn.GnomonicStatics(
+            dims=(8, 8, 8), aabb=((-1, 1),) * 3, axis=0, flip=False,
+            ncoeff=ncoeff, relu_sigma=True, with_diffuse=with_diffuse,
+            pos_per_cell=1, interpret=True, qb=qb,
+        )
+        flags = jnp.ones(flags_shape, jnp.int32)
+
+        def loss(t1_):
+            state = gt.composite_positions_diff(
+                t1_, rvt, ybasis, live_u, live_v, norm, geom, flags, flags,
+                statics, Pn, Qn, 1, Pn,
+            )
+            return jnp.sum(gw * state)
+
+        return loss
+
+    loss_stripe = make_loss(0, (1, NP))
+    loss_qb = make_loss(128, (1, 2, NP))
+    np.testing.assert_allclose(
+        float(loss_stripe(t1)), float(loss_qb(t1)), rtol=1e-6
+    )
+    g_stripe = np.asarray(jax.grad(loss_stripe)(t1), np.float32)
+    g_qb = np.asarray(jax.grad(loss_qb)(t1), np.float32)
+    assert np.isfinite(g_qb).all()
+    # stripe rounds each [C*Pn, Qn] @ [Qn, nv] product once; qb rounds the
+    # f32-accumulated partials once — both single bf16 roundings of the same
+    # f32 quantity up to f32 summation order
+    denom = np.maximum(np.abs(g_stripe), 1e-2 * np.abs(g_stripe).max() + 1e-8)
+    rel = np.abs(g_qb - g_stripe) / denom
+    assert np.quantile(rel, 0.999) < 0.02, (np.quantile(rel, 0.999), rel.max())
+
+
+def test_qb_split_train_step_matches_stripe():
+    """Whole-pose gnomonic train step with qb=128 matches the stripe step's
+    loss and post-step grid to tight tolerance (identical occupancy semantics
+    under the lossless exact-zero rule; exit_eps is 0 in training)."""
+    key = jax.random.PRNGKey(3)
+    grid = _tiny_scene(key, n=10)
+    pose = pose_spherical(140.0, -30.0, 3.5)
+    rotation = jnp.asarray(np.asarray(pose.rotation).reshape(3, 3))
+    origin = jnp.asarray(np.asarray(pose.translation).reshape(3))
+    H = W = 112  # Qn = ceil(112 * 1.25 / 128) * 128 = 256 -> QB = 2
+    image = jnp.clip(
+        0.5 + 0.2 * jax.random.normal(jax.random.PRNGKey(5), (H, W, 3)), 0, 1
+    )
+    from thr3ed_atom_tpu.rendering.bricked import dominant_axis_for_pose as dax
+
+    axis, flip = dax(np.asarray(rotation))
+    tx = optax.adam(1e-2)
+    results = {}
+    for qb in (0, 128):
+        tstat = gt.make_gnomonic_train_statics(
+            grid, axis, flip, image_height=H, image_width=W, white_bkgd=True,
+            apply_diffuse_render_regularization=True, pos_per_cell=1,
+            interpret=True, qb=qb,
+        )
+        if qb:
+            Pn, Qn, PB, Pb = tstat.frame
+            assert gn._qb_blocks(tstat.statics, Qn) == (2, 128), tstat.frame
+        g_in = jax.tree.map(jnp.copy, grid)  # the step donates its inputs
+        opt_state = tx.init(g_in)
+        g2, _, metrics = gt.gnomonic_train_step(
+            tstat, tx, g_in, opt_state, image, rotation, origin,
+            jnp.float32(120.0),
+        )
+        results[qb] = (float(metrics["total_loss"]), g2)
+    assert np.isclose(results[0][0], results[128][0], rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(results[0][1].densities), np.asarray(results[128][1].densities),
+        atol=5e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(results[0][1].features), np.asarray(results[128][1].features),
+        atol=5e-7,
+    )

@@ -270,17 +270,295 @@ def _make_backward_kernel(NP, Pb, Qn, nv, C, ncoeff, relu_sigma, with_diffuse):
     return kernel, SROWS, NDM
 
 
-def _composite_backward(t1, rvt, ybasis, live_u, live_v, norm, geom, gaux,
-                        occupancy, statics, Pn, Qn, PB, Pb):
-    rv = jnp.swapaxes(rvt, 1, 2)  # v-tents in dt1-contraction orientation
+def _make_backward_kernel_qb(NP, Pb, Qb, QB, nv, C, ncoeff, relu_sigma,
+                             with_diffuse):
+    """q-split replay VJP: grid=(PB, NP + 1, QB) with the q-block axis
+    innermost. Carries live per q-block in leading-dim-indexed scratch (the
+    same layout as gnomonic._make_composite_kernel_qb); each q-block's dvals
+    matmul contributes a PARTIAL [C*Pb, nv] dt1 that is accumulated across
+    the QB inner steps in an f32 scratch and flushed to the bf16 output at
+    qb == QB-1 — so occupancy skipping acts at [Pb, Qb] grain in both matmuls
+    while dt1[j-1] is still written exactly once per (pb, j)."""
+    SROWS, PROWS = _sprows(with_diffuse)
+    LROW = PROWS - 1
+    NDM = PROWS - 1  # pending rows: dsig + drgb*3 (+ ddif*3)
+
+    def kernel(geom_ref, cl_ref, pn_ref, t1_ref, rvt_ref, rv_ref, yb_ref,
+               lu_ref, lv_ref, norm_ref, gaux_ref, dt1_ref, prev_ref,
+               pend_ref, carry_ref, acc_ref):
+        pb = pl.program_id(0)
+        j = pl.program_id(1)
+        qb = pl.program_id(2)
+
+        @pl.when(j == 0)
+        def _():
+            carry_ref[qb, 0] = jnp.ones((Pb, Qb), jnp.float32)
+            carry_ref[qb, 1] = jnp.zeros((Pb, Qb), jnp.float32)
+            pend_ref[qb] = jnp.zeros((NDM, Pb, Qb), jnp.float32)
+
+        @pl.when((qb == 0) & (j > 0))
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        jc = jnp.minimum(j, NP - 1)  # geom/flag rows are [NP]; j reaches NP
+        jp = jnp.maximum(j - 1, 0)
+        live_replay = pn_ref[pb, qb, jc] > 0
+        live_out = (j > 0) & (pn_ref[pb, qb, jp] > 0)
+        work = live_replay | live_out
+
+        @pl.when(jnp.logical_not(work))
+        def _():
+            # dead iteration: the pending rows must reflect cell j's (zero)
+            # b-side contribution; the acc keeps other q-blocks' partials
+            pend_ref[qb] = jnp.zeros((NDM, Pb, Qb), jnp.float32)
+
+        @pl.when(work)
+        def _():
+            _work_body(geom_ref, cl_ref, t1_ref, rvt_ref, rv_ref, yb_ref,
+                       lu_ref, lv_ref, norm_ref, gaux_ref, prev_ref,
+                       pend_ref, carry_ref, acc_ref, j, jc, pb, qb)
+
+        @pl.when((j > 0) & (qb == QB - 1))
+        def _():
+            dt1_ref[...] = acc_ref[...].reshape(
+                1, C, Pb, nv).astype(jnp.bfloat16)
+
+    def _work_body(geom_ref, cl_ref, t1_ref, rvt_ref, rv_ref, yb_ref, lu_ref,
+                   lv_ref, norm_ref, gaux_ref, prev_ref, pend_ref, carry_ref,
+                   acc_ref, j, jc, pb, qb):
+        # ---- replay position jj = min(j, NP-1) (garbage-masked for j == NP)
+        vals = jnp.dot(
+            t1_ref[0].reshape(C * Pb, nv), rvt_ref[0, 0],
+            preferred_element_type=jnp.float32,
+        )
+        livem = jnp.broadcast_to(lu_ref[0] * lv_ref[0, 0], (Pb, Qb))
+        sig = vals[3 * ncoeff * Pb:(3 * ncoeff + 1) * Pb, :]
+
+        def fold(colour, coeffs):
+            acc = yb_ref[qb, 0] * vals[
+                (colour * ncoeff) * Pb:(colour * ncoeff + 1) * Pb
+            ]
+            for k in range(1, coeffs):
+                ch = colour * ncoeff + k
+                acc += yb_ref[qb, k] * vals[ch * Pb:(ch + 1) * Pb]
+            return acc
+
+        rgb = [fold(c, ncoeff) for c in range(3)]
+        dif = [fold(c, 1) for c in range(3)] if with_diffuse else []
+
+        cell_on = (j > 0) & (j < NP) & (cl_ref[pb, qb, jc] > 0)
+
+        def m(x):  # mask with select (safe against garbage NaNs at j == 0 / NP)
+            return jnp.where(cell_on, x, jnp.zeros_like(x))
+
+        # ---- recompute cell j forward quantities (between positions j-1, j)
+        sig_a = prev_ref[qb, 0]
+        live_pair = prev_ref[qb, LROW] * livem
+        integ_raw, tbar, dIda, dIdb = _relu_trap(sig_a, sig, relu_sigma)
+        integ = integ_raw * live_pair
+        cell_step = geom_ref[jc, 1]
+        delta = cell_step * norm_ref[qb]
+        e = jnp.exp(-integ * delta)
+        alpha = 1.0 - e
+        T = carry_ref[qb, 0]
+        w = m(alpha * T)
+        s_b = geom_ref[jc, 0]
+        s_mid = (s_b - cell_step + tbar * cell_step) * norm_ref[qb]
+        tb1 = 1.0 - tbar
+
+        g_col = [gaux_ref[qb, 1 + c] for c in range(3)]
+        g_acc = gaux_ref[qb, 4]
+        g_dep = gaux_ref[qb, 5]
+        g_dif = [gaux_ref[qb, 6 + c] for c in range(3)] if with_diffuse else []
+        g_T = gaux_ref[qb, 0]
+        S_total = gaux_ref[qb, SROWS]
+        T_fin = gaux_ref[qb, SROWS + 1]
+
+        mids = [
+            jax.nn.sigmoid(tb1 * prev_ref[qb, 1 + c] + tbar * rgb[c])
+            for c in range(3)
+        ]
+        inner = g_acc + g_dep * s_mid
+        for c in range(3):
+            inner += g_col[c] * mids[c]
+        if with_diffuse:
+            dmids = [
+                jax.nn.sigmoid(tb1 * prev_ref[qb, 4 + c] + tbar * dif[c])
+                for c in range(3)
+            ]
+            for c in range(3):
+                inner += g_dif[c] * dmids[c]
+
+        S_prefix = carry_ref[qb, 1] + m(inner * w)
+        suffix = (S_total - S_prefix) + g_T * T_fin
+        # division-free dL/d(integral): delta * ((1-alpha) * T * inner - suffix).
+        # every product is masked AFTER multiplication (0 * NaN from the
+        # uninitialized j==0 prev scratch would otherwise leak)
+        dinteg = delta * (e * T * inner - suffix) * live_pair
+        d_a = m(dinteg * dIda)
+        d_b = m(dinteg * dIdb)
+
+        dmraws = [g_col[c] * w * mids[c] * (1.0 - mids[c]) for c in range(3)]
+        if with_diffuse:
+            ddmraws = [
+                g_dif[c] * w * dmids[c] * (1.0 - dmids[c]) for c in range(3)
+            ]
+
+        # ---- accumulate this q-block's partial dt1 for position j-1:
+        # pending (b-side of cell j-1) + this cell's a-side
+        @pl.when(j > 0)
+        def _():
+            dsig_prev = pend_ref[qb, 0] + d_a
+            drgb_prev = [
+                pend_ref[qb, 1 + c] + m(tb1 * dmraws[c]) for c in range(3)
+            ]
+            if with_diffuse:
+                ddif_prev = [
+                    pend_ref[qb, 4 + c] + m(tb1 * ddmraws[c]) for c in range(3)
+                ]
+            blocks = []
+            for ch in range(C):
+                if ch < 3 * ncoeff:
+                    c, k = divmod(ch, ncoeff)
+                    blk = yb_ref[qb, k] * drgb_prev[c]
+                    if with_diffuse and k == 0:
+                        blk = blk + yb_ref[qb, 0] * ddif_prev[c]
+                elif ch == 3 * ncoeff:
+                    blk = dsig_prev
+                else:
+                    blk = jnp.zeros((Pb, Qb), jnp.float32)
+                blocks.append(blk)
+            dvals = jnp.concatenate(blocks, axis=0)  # [C*Pb, Qb]
+            dt1 = jnp.dot(
+                dvals.astype(jnp.bfloat16), rv_ref[0, 0],
+                preferred_element_type=jnp.float32,
+            )  # [C*Pb, nv]
+            acc_ref[...] += dt1.reshape(C, Pb, nv)
+
+        # ---- roll pending to this position's b-side; advance carries
+        pend_ref[qb, 0] = d_b
+        for c in range(3):
+            pend_ref[qb, 1 + c] = m(tbar * dmraws[c])
+        if with_diffuse:
+            for c in range(3):
+                pend_ref[qb, 4 + c] = m(tbar * ddmraws[c])
+        carry_ref[qb, 0] = jnp.where(cell_on, T * (1.0 - alpha), T)
+        carry_ref[qb, 1] = jnp.where(cell_on, S_prefix, carry_ref[qb, 1])
+
+        # ---- store position values for the next cell
+        prev_ref[qb, 0] = sig
+        for c in range(3):
+            prev_ref[qb, 1 + c] = rgb[c]
+        if with_diffuse:
+            for c in range(3):
+                prev_ref[qb, 4 + c] = dif[c]
+        prev_ref[qb, LROW] = livem
+
+    return kernel, SROWS, NDM
+
+
+def _composite_backward_qb(t1, rvt, ybasis, live_u, live_v, norm, geom, gaux,
+                           statics, Pn, Qn, PB, Pb, QB, Qb, cell_live,
+                           pos_needed):
+    """q-split variant of _composite_backward (see _make_backward_kernel_qb).
+    Q-wide operands carry a leading q-block axis so every in-kernel access is
+    a leading-dim (untiled) index."""
+    rv = jnp.swapaxes(rvt, 1, 2)
     NP = t1.shape[0]
     nv = t1.shape[3]
     C = _padded_channels(statics)
+    kernel, SROWS, NDM = _make_backward_kernel_qb(
+        NP, Pb, Qb, QB, nv, C, statics.ncoeff, statics.relu_sigma,
+        statics.with_diffuse,
+    )
+    PROWS = _sprows(statics.with_diffuse)[1]
+    last = NP - 1
+    rvt_q = jnp.transpose(rvt.reshape(NP, nv, QB, Qb), (0, 2, 1, 3))
+    rv_q = rv.reshape(NP, QB, Qb, nv)
+    yb_q = jnp.transpose(
+        ybasis.reshape(statics.ncoeff, Pn, QB, Qb), (2, 0, 1, 3)
+    )
+    lv_q = live_v.reshape(NP, QB, 1, Qb)
+    norm_q = jnp.transpose(norm.reshape(Pn, QB, Qb), (1, 0, 2))
+    gaux_q = jnp.transpose(
+        gaux.reshape(SROWS + 2, Pn, QB, Qb), (2, 0, 1, 3)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(PB, NP + 1, QB),
+        in_specs=[
+            pl.BlockSpec((NP, 8), lambda pb, t, qb: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((PB, QB, NP), lambda pb, t, qb: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((PB, QB, NP), lambda pb, t, qb: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, C, Pb, nv),
+                lambda pb, t, qb: (jnp.minimum(t, last), 0, pb, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, nv, Qb),
+                lambda pb, t, qb: (jnp.minimum(t, last), qb, 0, 0),
+            ),
+            # rv pairs with the dt1 OUTPUT position (j - 1), not the replayed
+            # position j: iteration j folds position j-1's finished cotangent
+            pl.BlockSpec(
+                (1, 1, Qb, nv),
+                lambda pb, t, qb: (jnp.maximum(t - 1, 0), qb, 0, 0),
+            ),
+            pl.BlockSpec((QB, statics.ncoeff, Pb, Qb),
+                         lambda pb, t, qb: (0, 0, pb, 0)),
+            pl.BlockSpec((1, Pb, 1),
+                         lambda pb, t, qb: (jnp.minimum(t, last), pb, 0)),
+            pl.BlockSpec(
+                (1, 1, 1, Qb),
+                lambda pb, t, qb: (jnp.minimum(t, last), qb, 0, 0),
+            ),
+            pl.BlockSpec((QB, Pb, Qb), lambda pb, t, qb: (0, pb, 0)),
+            pl.BlockSpec((QB, SROWS + 2, Pb, Qb),
+                         lambda pb, t, qb: (0, 0, pb, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, C, Pb, nv),
+            lambda pb, t, qb: (jnp.maximum(t - 1, 0), 0, pb, 0),
+        ),
+        out_shape=jax.ShapeDtypeStruct((NP, C, Pn, nv), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((QB, PROWS, Pb, Qb), jnp.float32),
+            pltpu.VMEM((QB, NDM, Pb, Qb), jnp.float32),
+            pltpu.VMEM((QB, 2, Pb, Qb), jnp.float32),
+            pltpu.VMEM((C, Pb, nv), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+        interpret=statics.interpret,
+    )(geom, cell_live, pos_needed, t1, rvt_q, rv_q, yb_q, live_u, lv_q,
+      norm_q, gaux_q)
+
+
+def _composite_backward(t1, rvt, ybasis, live_u, live_v, norm, geom, gaux,
+                        occupancy, statics, Pn, Qn, PB, Pb):
+    from thr3ed_atom_tpu.rendering.gnomonic import _qb_blocks
+
+    QB, Qb = _qb_blocks(statics, Qn)
+    NP = t1.shape[0]
     if occupancy is None:
-        cell_live = jnp.ones((PB, NP), jnp.int32)
-        pos_needed = jnp.ones((PB, NP), jnp.int32)
+        shape = (PB, NP) if QB == 1 else (PB, QB, NP)
+        cell_live = jnp.ones(shape, jnp.int32)
+        pos_needed = jnp.ones(shape, jnp.int32)
     else:
         cell_live, pos_needed = occupancy
+    if QB > 1:
+        assert cell_live.shape == (PB, QB, NP), cell_live.shape
+        return _composite_backward_qb(
+            t1, rvt, ybasis, live_u, live_v, norm, geom, gaux, statics,
+            Pn, Qn, PB, Pb, QB, Qb, cell_live, pos_needed,
+        )
+    rv = jnp.swapaxes(rvt, 1, 2)  # v-tents in dt1-contraction orientation
+    nv = t1.shape[3]
+    C = _padded_channels(statics)
     kernel, SROWS, NDM = _make_backward_kernel(
         NP, Pb, Qn, nv, C, statics.ncoeff, statics.relu_sigma,
         statics.with_diffuse,
@@ -401,11 +679,12 @@ def make_gnomonic_train_statics(
     supersample: float = 1.25,
     warp_order: int = 3,
     interpret: bool = False,
+    qb: int = 0,
 ) -> GnomonicTrainStatics:
     statics = statics_for_grid(
         voxel_grid, axis, flip,
         with_diffuse=apply_diffuse_render_regularization,
-        pos_per_cell=pos_per_cell, interpret=interpret,
+        pos_per_cell=pos_per_cell, interpret=interpret, qb=qb,
     )
     frame = gnomonic_frame_train(image_height, image_width, supersample, statics)
     return GnomonicTrainStatics(
@@ -434,10 +713,14 @@ def render_pose_diff(voxel_grid: VoxelGrid, rotation, origin, focal,
             tstat.supersample, frame=(Pn, Qn),
         )
     )
+    from thr3ed_atom_tpu.rendering.gnomonic import _qb_blocks
+
     slices = repack_position_slices(voxel_grid, statics)
     t1 = resample_u(slices, geo.Ru)
+    QB, _Qb = _qb_blocks(statics, Qn)
     cell_live, pos_needed = jax.lax.stop_gradient(
-        gnomonic_occupancy(slices, geo.Ru, statics, PB, Pb)
+        gnomonic_occupancy(slices, geo.Ru, statics, PB, Pb,
+                           RvT=geo.RvT if QB > 1 else None, QB=QB)
     )
     state = composite_positions_diff(
         t1, geo.RvT, geo.ybasis, geo.live_u, geo.live_v, geo.norm,
