@@ -626,6 +626,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                         supersample=vol_mod.render_config.gnomonic_supersample,
                         warp_order=vol_mod.render_config.gnomonic_warp_order,
                         interpret=jax.default_backend() == "cpu",
+                        qb=getattr(vol_mod.render_config, "gnomonic_qb", 0),
                     )
                     gnomonic_tstats[variant] = tstat
                 bucket = gn_variant_buckets[variant]
