@@ -33,6 +33,7 @@ from thr3ed_atom_tpu.utils.camera import pose_spherical
 GRID_SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 P = int(sys.argv[2]) if len(sys.argv) > 2 else 0  # 0 = auto
 IMAGE_SIZE = int(sys.argv[3]) if len(sys.argv) > 3 else 400
+QBW = int(sys.argv[4]) if len(sys.argv) > 4 else 0  # gnomonic_qb (q-split)
 
 
 def timed(label, fn, *args, n=20, reps=4):
@@ -56,14 +57,16 @@ def main():
     axis, flip = dominant_axis_for_pose(rotation)
     interpret = jax.default_backend() == "cpu"
     statics = gn.statics_for_grid(grid, axis, flip, pos_per_cell=P,
-                                  interpret=interpret)
+                                  interpret=interpret, qb=QBW)
     ss = gn.DEFAULT_SUPERSAMPLE
     H = W = IMAGE_SIZE
     focal = IMAGE_SIZE * 1.1
     Pn, Qn, PB, Pb = gn.gnomonic_frame(None, H, W, focal, ss, statics)
+    QB, _ = gn._qb_blocks(statics, Qn)
     print(
         f"grid {GRID_SIZE}^3  image {IMAGE_SIZE}^2  P={statics.pos_per_cell} "
-        f"ss={ss}  texels {Pn}x{Qn}  positions {gn._num_positions(statics)}",
+        f"ss={ss}  texels {Pn}x{Qn}  positions {gn._num_positions(statics)}  "
+        f"qb={QBW} (QB={QB})",
         flush=True,
     )
     rot_j = jnp.asarray(rotation, jnp.float32)
@@ -80,8 +83,9 @@ def main():
 
     t1, _ = timed("resample_u (einsum)", jax.jit(gn.resample_u), slices, geo.Ru)
 
-    occ_fn = jax.jit(lambda s, ru: gn.gnomonic_occupancy(s, ru, statics, PB, Pb))
-    occ, _ = timed("gnomonic_occupancy", occ_fn, slices, geo.Ru)
+    occ_fn = jax.jit(lambda s, g: gn.gnomonic_occupancy(
+        s, g.Ru, statics, PB, Pb, RvT=g.RvT if QB > 1 else None, QB=QB))
+    occ, _ = timed("gnomonic_occupancy", occ_fn, slices, geo)
 
     comp_fn = jax.jit(
         lambda t1_, g, o: gn.composite_positions(
@@ -109,7 +113,7 @@ def main():
     print("--- train (whole-pose) ---", flush=True)
     tstat = make_gnomonic_train_statics(
         grid, axis, flip, image_height=H, image_width=W, white_bkgd=True,
-        pos_per_cell=statics.pos_per_cell, interpret=interpret,
+        pos_per_cell=statics.pos_per_cell, interpret=interpret, qb=QBW,
     )
     rng = np.random.default_rng(0)
     image = jnp.asarray(rng.random((H, W, 3), dtype=np.float32))
