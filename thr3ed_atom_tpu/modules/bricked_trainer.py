@@ -260,7 +260,7 @@ def bricked_train_step_mesh(
 ):
     """bricked_train_step over a ("data" tiles x "model" depth-segments) mesh."""
     import numpy as _np
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     data_parallel, model_parallel = mesh_shape
@@ -351,7 +351,7 @@ def bricked_train_step_mesh(
         mesh=mesh,
         in_specs=(P(), P("data"), P("data"), P()),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )(grid, rays_feat, pixels, theta)
 
     metrics = {

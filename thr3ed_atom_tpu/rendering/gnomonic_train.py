@@ -796,7 +796,7 @@ def gnomonic_train_step_mesh(
     natural gnomonic sharding unit); gradients and metrics psum-average over
     the mesh. All poses of a step must share the march (axis, flip) variant
     (the trainer buckets views by dominant_axis_for_pose)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("data",))
@@ -816,7 +816,7 @@ def gnomonic_train_step_mesh(
         mesh=mesh,
         in_specs=(P(), P("data"), P("data"), P("data"), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )(grid, images, rotations, origins, focal)
     updates, opt_state = tx.update(grads, opt_state, grid)
     grid = optax.apply_updates(grid, updates)
