@@ -147,9 +147,14 @@ def _num_positions(statics: GnomonicStatics) -> int:
 
 def repack_position_slices(voxel_grid: VoxelGrid, statics: GnomonicStatics):
     """Differentiable repack into front-to-back position slices
-    [NPos, nu, C, nv] f32 (pre-activated; C = 3*ncoeff + 1 padded to a lane
+    [NPos, nu, C, nv] bf16 (pre-activated; C = 3*ncoeff + 1 padded to a lane
     multiple). Interior positions (pos_per_cell > 1) are lerps of the two
-    neighbouring vertex slices along the march axis."""
+    neighbouring vertex slices along the march axis, computed in f32 and
+    rounded once at the end — the u-resample einsum consumed bf16 anyway, so
+    materializing bf16 halves the repack HBM traffic (and the adjoint's) with
+    bit-identical t1. Occupancy is computed from these same bf16 values, so
+    the exact-zero skip rule stays exactly lossless wrt the pipeline's own
+    arithmetic."""
     axis = statics.axis
     u_ax, v_ax = _uv_axes(axis)
     P = statics.pos_per_cell
@@ -162,12 +167,12 @@ def repack_position_slices(voxel_grid: VoxelGrid, statics: GnomonicStatics):
     if statics.flip:
         slices = jnp.flip(slices, axis=0)
     if P == 1:
-        return slices
+        return slices.astype(jnp.bfloat16)
     mid_fracs = [k / P for k in range(1, P)]
     lo, hi = slices[:-1], slices[1:]
     subs = [lo] + [(1.0 - f) * lo + f * hi for f in mid_fracs]
     inter = jnp.stack(subs, axis=1).reshape((-1,) + slices.shape[1:])
-    return jnp.concatenate([inter, slices[-1:]], axis=0)
+    return jnp.concatenate([inter, slices[-1:]], axis=0).astype(jnp.bfloat16)
 
 
 def _padded_channels(statics: GnomonicStatics) -> int:
