@@ -32,7 +32,7 @@ from thr3ed_atom_tpu.utils.camera import pose_spherical  # noqa: E402
 
 GRID = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 FRAME = int(sys.argv[2]) if len(sys.argv) > 2 else 200
-EXIT_EPS = 1e-4
+EXIT_EPS = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-4  # 0 = occupancy only
 
 
 def main():
