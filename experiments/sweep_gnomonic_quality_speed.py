@@ -113,17 +113,22 @@ def main():
                                gnomonic_warp_order=warp_order,
                                gnomonic_qb=128))
     for cfg in candidates:
-        vm, imgs = render_all(
-            "render_sh_voxel_grid_gnomonic", quality_poses, 1024, **cfg
-        )
-        q = min(_psnr(x, e) for x, e in zip(imgs, exact))
-        t_pass = timed_pass(vm)
-        ms = t_pass / num_poses * 1e3
-        rps = num_poses * rays_per_pose / t_pass / 1e6
         label = (f"P={cfg['gnomonic_pos_per_cell']} "
                  f"ss={cfg['gnomonic_supersample']} "
                  f"warp={cfg['gnomonic_warp_order']} "
                  f"qb={cfg['gnomonic_qb']}")
+        try:
+            vm, imgs = render_all(
+                "render_sh_voxel_grid_gnomonic", quality_poses, 1024, **cfg
+            )
+            q = min(_psnr(x, e) for x, e in zip(imgs, exact))
+            t_pass = timed_pass(vm)
+        except Exception as exc:  # one bad config must not kill the battery
+            print(f"{label:42s} FAILED: {type(exc).__name__}: {exc}",
+                  flush=True)
+            continue
+        ms = t_pass / num_poses * 1e3
+        rps = num_poses * rays_per_pose / t_pass / 1e6
         print(f"{label:42s} {q:8.2f} {ms:8.2f} {rps:8.2f}", flush=True)
 
 
