@@ -56,16 +56,35 @@ def main() -> None:
     )
 
     grid = make_blob_scene(grid_size=GRID_SIZE, seed=3, converged=True)
-    config = SHVoxGridRenderConfig(
-        num_samples_per_ray=256,
-        camera_bounds=CameraBounds(2.0, 6.0),
-        perturb_sampled_points=False,
-        white_bkgd=True,
-    )
-    vol_mod = VolumetricModel(
-        grid, render_procedure="render_sh_voxel_grid_gnomonic", render_config=config
-    )
     intrinsics = CameraIntrinsics(IMAGE_SIZE, IMAGE_SIZE, IMAGE_SIZE * 1.1)
+
+    def make_vm(qb):
+        config = SHVoxGridRenderConfig(
+            num_samples_per_ray=256,
+            camera_bounds=CameraBounds(2.0, 6.0),
+            perturb_sampled_points=False,
+            white_bkgd=True,
+            gnomonic_qb=qb,
+        )
+        return VolumetricModel(
+            grid, render_procedure="render_sh_voxel_grid_gnomonic",
+            render_config=config,
+        )
+
+    # quality default plus the q-split variant — image-identical at exit_eps=0
+    # and bounded-at-eps otherwise (tests/test_gnomonic.py); the faster of the
+    # two carries the headline. The q-split falls back cleanly if the kernel
+    # fails to lower on this backend.
+    vol_mod = make_vm(0)
+    qb_label = "qb=0"
+    try:
+        vm_qb = make_vm(128)
+        probe = vm_qb.render(pose_spherical(45.0, -40.0, 4.0), intrinsics)
+        np.asarray(probe.colour)
+    except Exception as exc:
+        print(f"# gnomonic_qb=128 unavailable on this backend: "
+              f"{type(exc).__name__}", flush=True)
+        vm_qb = None
 
     rng = np.random.default_rng(42)
     poses = [
@@ -76,42 +95,48 @@ def main() -> None:
     def sync(out):
         return float(jnp.sum(out.colour))
 
-    def render_once(pose):
-        t0 = time.perf_counter()
-        out = vol_mod.render(pose, intrinsics)
-        sync(out)
-        return time.perf_counter() - t0
+    def measure(vm):
+        # 1) compile/warm every march-axis variant (and build the repack
+        # cache), then FULL passes: the runtime serves a deoptimized
+        # executable until the per-variant async AOT compile lands, and a
+        # partially-warmed process times the deoptimized programs (measured
+        # 142 ms/pose vs 37 ms warm)
+        for pose in poses[:12]:
+            sync(vm.render(pose, intrinsics))
 
-    # 1) compile/warm every march-axis variant (and build the repack cache), then a
-    # FULL pass over all poses: the runtime serves a deoptimized executable until the
-    # per-variant async AOT compile lands, and a partially-warmed process times the
-    # deoptimized programs (measured 142 ms/pose vs 37 ms warm)
-    for pose in poses[:12]:
-        render_once(pose)
-    # 2) repeat full passes until the BEST pass stops improving (two consecutive
-    # non-improving passes): two equally-slow deoptimized passes must not read as
-    # "stable" — the async AOT compile can take minutes to land
-    def one_pass():
-        start = time.perf_counter()
-        last = None
-        for pose in poses:
-            last = vol_mod.render(pose, intrinsics)
-        sync(last)
-        return time.perf_counter() - start
+        # 2) repeat full passes until the BEST pass stops improving (two
+        # consecutive non-improving passes): two equally-slow deoptimized
+        # passes must not read as "stable" — the async AOT compile can take
+        # minutes to land
+        def one_pass():
+            start = time.perf_counter()
+            last = None
+            for pose in poses:
+                last = vm.render(pose, intrinsics)
+            sync(last)
+            return time.perf_counter() - start
 
-    best = one_pass()
-    miss = 0
-    for _ in range(12):
-        t = one_pass()
-        if t < 0.95 * best:
-            best, miss = t, 0
-        else:
-            best, miss = min(best, t), miss + 1
-            if miss >= 2:
-                break
+        best = one_pass()
+        miss = 0
+        for _ in range(12):
+            t = one_pass()
+            if t < 0.95 * best:
+                best, miss = t, 0
+            else:
+                best, miss = min(best, t), miss + 1
+                if miss >= 2:
+                    break
 
-    # 3) timed: best of 3 passes (steady-state throughput), pipelined within a pass
-    elapsed = min(one_pass() for _ in range(3))
+        # 3) timed: best of 3 passes (steady-state), pipelined within a pass
+        return min(one_pass() for _ in range(3))
+
+    elapsed = measure(vol_mod)
+    if vm_qb is not None:
+        elapsed_qb = measure(vm_qb)
+        print(f"# qb=0: {elapsed:.3f}s  qb=128: {elapsed_qb:.3f}s per "
+              f"{NUM_POSES}-pose pass", flush=True)
+        if elapsed_qb < elapsed:
+            elapsed, qb_label = elapsed_qb, "qb=128"
 
     total_rays = NUM_POSES * IMAGE_SIZE * IMAGE_SIZE
     rays_per_sec = total_rays / elapsed
@@ -121,8 +146,8 @@ def main() -> None:
             {
                 "metric": (
                     f"render rays/sec/chip ({GRID_SIZE}^3 grid, "
-                    f"{IMAGE_SIZE}x{IMAGE_SIZE}, gnomonic shear-warp, "
-                    f"best of 3 passes over {NUM_POSES} poses)"
+                    f"{IMAGE_SIZE}x{IMAGE_SIZE}, gnomonic shear-warp "
+                    f"{qb_label}, best of 3 passes over {NUM_POSES} poses)"
                 ),
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/sec",
