@@ -439,3 +439,72 @@ def test_qb_split_train_step_matches_stripe():
         np.asarray(results[0][1].features), np.asarray(results[128][1].features),
         atol=5e-7,
     )
+
+
+def test_gnomonic_multi_step_matches_pose_average():
+    """gnomonic_train_step_multi (sequential k-pose gradient accumulation)
+    must equal the single step taken on the average of the per-pose gradients
+    (SGD so grid deltas are exactly -lr * grad), and its metrics must be the
+    per-pose means."""
+    k = 3
+    key = jax.random.PRNGKey(7)
+    grid = _tiny_scene(key)
+    H = W = 24
+    focal = 26.0
+    poses = [pose_spherical(30.0 + 10.0 * i, -40.0, 3.5) for i in range(k)]
+    variants = {
+        dominant_axis_for_pose(np.asarray(p.rotation).reshape(3, 3))
+        for p in poses
+    }
+    assert len(variants) == 1, variants
+    axis, flip = variants.pop()
+    rotations = jnp.asarray(
+        np.stack([np.asarray(p.rotation).reshape(3, 3) for p in poses]),
+        jnp.float32,
+    )
+    origins = jnp.asarray(
+        np.stack([np.asarray(p.translation).reshape(3) for p in poses]),
+        jnp.float32,
+    )
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((k, H, W, 3), dtype=np.float32))
+
+    tstat = gt.make_gnomonic_train_statics(
+        grid, axis, flip, image_height=H, image_width=W, white_bkgd=True,
+        apply_diffuse_render_regularization=True, pos_per_cell=1,
+        interpret=True,
+    )
+    tx = optax.sgd(0.1)
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)  # noqa: E731
+
+    g_multi, _, m_multi = gt.gnomonic_train_step_multi(
+        tstat, tx, copy(grid), tx.init(grid), images, rotations, origins,
+        jnp.float32(focal),
+    )
+
+    import functools
+    grad_fn = jax.grad(functools.partial(gt._pose_loss, tstat), has_aux=True)
+    grads, losses = None, []
+    for i in range(k):
+        g_i, aux = grad_fn(
+            grid, images[i], rotations[i], origins[i], jnp.float32(focal)
+        )
+        losses.append(float(aux["total_loss"]))
+        grads = g_i if grads is None else jax.tree_util.tree_map(
+            jnp.add, grads, g_i
+        )
+    grads = jax.tree_util.tree_map(lambda x: x / k, grads)
+    updates, _ = tx.update(grads, tx.init(grid), grid)
+    g_ref = optax.apply_updates(copy(grid), updates)
+
+    np.testing.assert_allclose(
+        np.asarray(g_multi.densities), np.asarray(g_ref.densities),
+        atol=1e-6, rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_multi.features), np.asarray(g_ref.features),
+        atol=1e-6, rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(m_multi["total_loss"]), np.mean(losses), rtol=1e-6
+    )

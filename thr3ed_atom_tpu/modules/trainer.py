@@ -509,6 +509,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
             from thr3ed_atom_tpu.rendering.gnomonic_train import (
                 gnomonic_train_step,
                 gnomonic_train_step_mesh,
+                gnomonic_train_step_multi,
                 make_gnomonic_train_statics,
             )
 
@@ -537,8 +538,24 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                     f"gnomonic mesh training over {gn_mesh_devices} devices "
                     "(one whole training view per device)"
                 )
+            # honour the requested ray budget: when a whole pose is fewer rays
+            # than ray_batch_size (small training resolutions), accumulate
+            # gradients over k poses per step (sequential scan, single-pose
+            # HBM footprint) so equal-iteration comparisons against the
+            # ray-batch trainers see equal data
+            _pose_rays = stage_intrinsics.height * stage_intrinsics.width
+            gn_poses_per_step = (
+                1 if use_mesh else max(1, round(ray_batch_size / _pose_rays))
+            )
+            if gn_poses_per_step > 1:
+                log.info(
+                    f"gnomonic whole-pose steps accumulate {gn_poses_per_step}"
+                    f" poses/step ({_pose_rays} rays/pose vs ray_batch_size "
+                    f"{ray_batch_size})"
+                )
         rays_per_step = (
-            stage_intrinsics.height * stage_intrinsics.width * gn_mesh_devices
+            stage_intrinsics.height * stage_intrinsics.width
+            * gn_mesh_devices * gn_poses_per_step
             if use_gnomonic
             else ray_batch_size
         )
@@ -637,6 +654,15 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                         images[jnp.asarray(idx)],
                         poses[jnp.asarray(idx), :, :3],
                         poses[jnp.asarray(idx), :, 3],
+                        jnp.float32(stage_intrinsics.focal),
+                    )
+                elif gn_poses_per_step > 1:
+                    idx = jnp.asarray(
+                        pose_picker.choice(bucket, size=gn_poses_per_step)
+                    )
+                    grid, opt_state, metrics = gnomonic_train_step_multi(
+                        tstat, tx, grid, opt_state,
+                        images[idx], poses[idx, :, :3], poses[idx, :, 3],
                         jnp.float32(stage_intrinsics.focal),
                     )
                 else:

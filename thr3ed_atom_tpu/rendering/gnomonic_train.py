@@ -779,6 +779,47 @@ def gnomonic_train_step(
     return grid, opt_state, metrics
 
 
+@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3))
+def gnomonic_train_step_multi(
+    tstat: GnomonicTrainStatics,
+    tx: optax.GradientTransformation,
+    grid: VoxelGrid,
+    opt_state,
+    images: jnp.ndarray,  # [k, H, W, 3] k training views (same march variant)
+    rotations: jnp.ndarray,  # [k, 3, 3]
+    origins: jnp.ndarray,  # [k, 3]
+    focal: jnp.ndarray,  # scalar
+):
+    """One optimization step on the AVERAGED gradient of k whole-pose losses
+    (sequential lax.scan accumulation — one pipeline's activations live at a
+    time, so HBM stays at the single-pose footprint). Decouples rays-per-step
+    from the image size: at small training resolutions a single pose is far
+    fewer rays than the ray-batch trainers' 32K default, which starves the
+    whole-pose trainer in equal-iteration comparisons (reference
+    trainers.py:271-341 samples rays across all views every step)."""
+    k = images.shape[0]
+    grad_fn = jax.value_and_grad(partial(_pose_loss, tstat), has_aux=True)
+
+    (_l0, aux0), g0 = grad_fn(grid, images[0], rotations[0], origins[0], focal)
+    if k == 1:
+        gsum, auxsum = g0, aux0
+    else:
+
+        def body(acc, xs):
+            img, rot, org = xs
+            (_loss, aux), g = grad_fn(grid, img, rot, org, focal)
+            return jax.tree_util.tree_map(jnp.add, acc, (g, aux)), None
+
+        (gsum, auxsum), _ = jax.lax.scan(
+            body, (g0, aux0), (images[1:], rotations[1:], origins[1:])
+        )
+    grads = jax.tree_util.tree_map(lambda x: x / k, gsum)
+    metrics = {k_: v / k for k_, v in auxsum.items()}
+    updates, opt_state = tx.update(grads, opt_state, grid)
+    grid = optax.apply_updates(grid, updates)
+    return grid, opt_state, metrics
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3, 4))
 def gnomonic_train_step_mesh(
     tstat: GnomonicTrainStatics,
