@@ -78,14 +78,17 @@ def main():
         # T AFTER cell ending at position j (cell j spans positions j-1, j)
         T = jnp.cumprod(1.0 - alpha, axis=0)  # [NP-1, Pn, Qn]
         T = jnp.concatenate([jnp.ones((1, Pn, Qn)), T], axis=0)  # [NP, Pn, Qn]
+        # the kernel gates step j on the PRE-cell transmittance (state before
+        # compositing cell j), i.e. T[j-1]
+        T_pre = jnp.concatenate([T[:1], T[:-1]], axis=0)
 
         # --- occupancy flags at (pb, qb, j) grain --------------------------
         col_live = sig_pl > 0.0  # [NP, nu, nv]
+        sup_u = (geo.Ru > 0).astype(jnp.float32).reshape(
+            NP, PB, Pb, -1).sum(2)  # [NP, PB, nu] (QBf-independent)
         pose_costs = {}
         for QBf in (1, 2, 4, 8):
             Qb = Qn // QBf
-            sup_u = (geo.Ru > 0).astype(jnp.float32).reshape(
-                NP, PB, Pb, -1).sum(2)  # [NP, PB, nu]
             sup_v = (geo.RvT > 0).astype(jnp.float32).reshape(
                 NP, -1, QBf, Qb).sum(3)  # [NP, nv, QBf]
             uq = jnp.einsum("juv,jvq->juq", col_live.astype(jnp.float32),
@@ -96,9 +99,9 @@ def main():
             next_l = jnp.concatenate([slab[1:], z], 0)
             pos_needed = prev_l | slab | next_l  # [NP, PB, QBf]
 
-            # early exit: block (pb, qb) stops once max T in it < eps
-            Tb = T.reshape(NP, PB, Pb, QBf, Qb).max(axis=(2, 4))  # [NP,PB,QBf]
-            alive = Tb > EXIT_EPS
+            # early exit: block (pb, qb) stops once max pre-cell T in it < eps
+            Tb = T_pre.reshape(NP, PB, Pb, QBf, Qb).max(axis=(2, 4))
+            alive = Tb > EXIT_EPS  # [NP, PB, QBf]
 
             work = pos_needed & alive  # steps actually executed
             # matmul cost per step scales with Qb = Qn/QBf (stripe-equiv units)

@@ -551,8 +551,10 @@ def composite_positions(t1, rvt, ybasis, live_u, live_v, norm, geom, statics,
     t1 [NP, C, Pn, nv] bf16, rvt [NP, nv, Qn] bf16, ybasis [ncoeff, Pn, Qn]
     f32, live_u [NP, Pn, 1] f32, live_v [NP, 1, Qn] f32, norm [Pn, Qn] f32,
     geom [NP, 8] f32 (s_j, cell_step), occupancy = optional
-    (cell_live, pos_needed) [PB, NP] i32 pair from gnomonic_occupancy (None =
-    everything live). Returns [SROWS, Pn, Qn] f32 composited state: rows
+    (cell_live, pos_needed) i32 pair from gnomonic_occupancy — [PB, NP] for
+    the whole-stripe kernel, [PB, QB, NP] when statics.qb > 0 (pass
+    RvT=geo.RvT, QB=QB to gnomonic_occupancy); None = everything live.
+    Returns [SROWS, Pn, Qn] f32 composited state: rows
     (T, colour rgb, acc, depth[, diffuse rgb])."""
     NP = t1.shape[0]
     nv = t1.shape[3]
@@ -734,7 +736,7 @@ def resample_u(slices, Ru):
 
 @partial(jax.jit, static_argnames=("statics", "height", "width", "supersample"))
 def _march_gnomonic(
-    slices,  # [NP, nu, C, nv] f32 (repacked position slices)
+    slices,  # [NP, nu, C, nv] bf16 (repacked position slices)
     rotation,  # [3, 3] f32
     origin,  # [3] f32
     statics: GnomonicStatics,

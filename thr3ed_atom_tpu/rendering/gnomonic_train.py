@@ -62,10 +62,13 @@ from thr3ed_atom_tpu.utils.metrics import mse2psnr
 # --------------------------------------------------------------- train blocking
 
 
-def _p_blocking_train(Pn_raw: int, Qn: int, nv: int, C: int, with_diffuse: bool):
+def _p_blocking_train(Pn_raw: int, Qn: int, nv: int, C: int,
+                      with_diffuse: bool, qb_acc: bool = False):
     """u-axis blocking sized for the BACKWARD kernel's VMEM working set (the
     replay adds dvals, the dt1 output double-buffer and the pending/carry
-    rows on top of the forward's buffers)."""
+    rows on top of the forward's buffers). ``qb_acc`` adds the q-split
+    backward's f32 dt1 accumulator scratch (kept out of the stripe path's
+    estimate so the measured stripe blocking is unchanged)."""
     SROWS, PROWS = _sprows(with_diffuse)
     budget = 88 * 1024 * 1024
     PB = 1
@@ -78,6 +81,7 @@ def _p_blocking_train(Pn_raw: int, Qn: int, nv: int, C: int, with_diffuse: bool)
             + 4 * (PROWS + (PROWS - 1) + 2) * Pb * Qn  # prev + pend + carry
             + 4 * 16 * Pb * Qn  # ybasis block (<= 16 rows)
             + 2 * 2 * C * Pb * nv * 2  # t1 + dt1 double buffers
+            + (4 * C * Pb * nv if qb_acc else 0)  # q-split f32 dt1 acc
         )
         if est <= budget or PB >= 64:
             return PB, Pb, PB * Pb
@@ -90,7 +94,8 @@ def gnomonic_frame_train(height: int, width: int, supersample: float,
     Texel rounding is shared with the render frame (gnomonic.frame_rounding);
     only the VMEM blocking differs (the replay backward carries more rows)."""
     Pn_raw, Qn, nv, C = frame_rounding(height, width, supersample, statics)
-    PB, Pb, Pn = _p_blocking_train(Pn_raw, Qn, nv, C, statics.with_diffuse)
+    PB, Pb, Pn = _p_blocking_train(Pn_raw, Qn, nv, C, statics.with_diffuse,
+                                   qb_acc=statics.qb > 0)
     return Pn, Qn, PB, Pb
 
 
@@ -800,19 +805,20 @@ def gnomonic_train_step_multi(
     k = images.shape[0]
     grad_fn = jax.value_and_grad(partial(_pose_loss, tstat), has_aux=True)
 
-    (_l0, aux0), g0 = grad_fn(grid, images[0], rotations[0], origins[0], focal)
-    if k == 1:
-        gsum, auxsum = g0, aux0
-    else:
+    def body(acc, xs):
+        img, rot, org = xs
+        (_loss, aux), g = grad_fn(grid, img, rot, org, focal)
+        return jax.tree_util.tree_map(jnp.add, acc, (g, aux)), None
 
-        def body(acc, xs):
-            img, rot, org = xs
-            (_loss, aux), g = grad_fn(grid, img, rot, org, focal)
-            return jax.tree_util.tree_map(jnp.add, acc, (g, aux)), None
-
-        (gsum, auxsum), _ = jax.lax.scan(
-            body, (g0, aux0), (images[1:], rotations[1:], origins[1:])
-        )
+    # zeros-initialized carry (shapes via eval_shape — no tracing cost) so the
+    # compiled program contains ONE copy of the whole-pose fwd+bwd pipeline
+    (_ls, aux_s), g_s = jax.eval_shape(
+        grad_fn, grid, images[0], rotations[0], origins[0], focal
+    )
+    zero = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), (g_s, aux_s)
+    )
+    (gsum, auxsum), _ = jax.lax.scan(body, zero, (images, rotations, origins))
     grads = jax.tree_util.tree_map(lambda x: x / k, gsum)
     metrics = {k_: v / k for k_, v in auxsum.items()}
     updates, opt_state = tx.update(grads, opt_state, grid)
