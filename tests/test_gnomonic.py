@@ -499,3 +499,21 @@ def test_qb_split_matches_stripe_kernel(key, diffuse, P):
     assert np.all(np.asarray(pn_q.max(axis=1) <= pn_s))
     # and it actually skips more than the stripe grain on this carved scene
     assert float(jnp.sum(pn_q)) < QB * float(jnp.sum(pn_s))
+
+
+def test_effective_supersample_floor():
+    """The texels-per-voxel floor engages only when the image undersamples the
+    grid: production shapes keep the configured supersample; a 64^3 grid at a
+    64px image gets >= 2.5 texels/voxel (capped at 4.0)."""
+    mk = lambda n: gn.GnomonicStatics(  # noqa: E731
+        dims=(n, n, n), aabb=((-1, 1),) * 3, axis=0, flip=False, ncoeff=9,
+        relu_sigma=True, with_diffuse=False, pos_per_cell=1, interpret=True,
+    )
+    # production: 128^3 at 400px -> floor 0.8 < 1.25 -> unchanged
+    assert gn.effective_supersample(1.25, mk(128), 400, 400) == 1.25
+    # parity scale: 64^3 at 64px -> floor 2.5
+    assert gn.effective_supersample(1.25, mk(64), 64, 64) == 2.5
+    # explicit larger config wins
+    assert gn.effective_supersample(3.0, mk(64), 64, 64) == 3.0
+    # cap: 256^3 at a 64px thumbnail would want 10 -> capped at 4
+    assert gn.effective_supersample(1.25, mk(256), 64, 64) == 4.0

@@ -889,6 +889,26 @@ def _warp_to_camera(
 
 DEFAULT_SUPERSAMPLE = 1.25
 
+# texel-density floor: the warp's reconstruction error on voxel-sharp content
+# is set by TEXELS PER VOXEL, not texels per pixel. At production shapes the
+# image already oversamples the grid (400 px / 128 voxels ~ 3.9 texels/voxel
+# at ss 1.25 -> 77+ dB vs exact), but at small images the default drops to
+# ~1.25 texels/voxel and agreement on sharp trained scenes falls to ~44 dB,
+# improving ~2 dB per supersample doubling (measured: PARITY_RUN.md
+# cross-eval + the P/ss sweep on a trained 64^3 grid). The floor only
+# engages when the image is small relative to the grid, where texels are
+# cheap anyway; capped to bound the texel cost.
+_TEXELS_PER_VOXEL_FLOOR = 2.5
+_SUPERSAMPLE_CAP = 4.0
+
+
+def effective_supersample(config_ss: float, statics: GnomonicStatics,
+                          height: int, width: int) -> float:
+    u_ax, v_ax = _uv_axes(statics.axis)
+    nmax = max(statics.dims[u_ax], statics.dims[v_ax])
+    floor = _TEXELS_PER_VOXEL_FLOOR * nmax / max(1, min(height, width))
+    return float(max(config_ss, min(_SUPERSAMPLE_CAP, floor)))
+
 _repack_jit = jax.jit(repack_position_slices, static_argnums=(1,))
 
 
@@ -924,8 +944,9 @@ def render_image_gnomonic(
         interpret=interpret,
         qb=int(getattr(config, "gnomonic_qb", 0)),
     )
-    supersample = float(
-        getattr(config, "gnomonic_supersample", DEFAULT_SUPERSAMPLE)
+    supersample = effective_supersample(
+        float(getattr(config, "gnomonic_supersample", DEFAULT_SUPERSAMPLE)),
+        statics, int(camera_intrinsics.height), int(camera_intrinsics.width),
     )
 
     slices = None

@@ -686,10 +686,15 @@ def make_gnomonic_train_statics(
     interpret: bool = False,
     qb: int = 0,
 ) -> GnomonicTrainStatics:
+    from thr3ed_atom_tpu.rendering.gnomonic import effective_supersample
+
     statics = statics_for_grid(
         voxel_grid, axis, flip,
         with_diffuse=apply_diffuse_render_regularization,
         pos_per_cell=pos_per_cell, interpret=interpret, qb=qb,
+    )
+    supersample = effective_supersample(
+        float(supersample), statics, image_height, image_width
     )
     frame = gnomonic_frame_train(image_height, image_width, supersample, statics)
     return GnomonicTrainStatics(
