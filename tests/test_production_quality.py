@@ -118,3 +118,33 @@ def test_gnomonic_quality_at_production_scale(scene):
     assert psnrs[4] > psnrs[2], psnrs
     # the quality default (auto = P=2 at 128^3) carries the headline bench
     assert psnrs[2] > 75.0, psnrs
+
+
+def test_gnomonic_quality_on_sharp_scene(scene):
+    """Renderer agreement is scene-sharpness-dependent (PARITY_RUN.md
+    cross-eval: a trained 64^3 grid agreed at only ~44 dB before the
+    texel-density floor, vs 77+ dB on the smooth blob). Gate the production
+    shapes on a SHARP variant: the blob scene with voxel-scale density and
+    feature noise, the texture a trained relu field actually has."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    sharp = dataclasses.replace(
+        scene,
+        densities=scene.densities
+        + jnp.asarray(rng.normal(0, 1.2, scene.densities.shape), jnp.float32),
+        features=scene.features
+        + jnp.asarray(rng.normal(0, 0.3, scene.features.shape), jnp.float32),
+    )
+    exact = _render(sharp, "render_sh_voxel_grid", 1024,
+                    parallel_rays_chunk_size=4096)
+    g = _render(sharp, "render_sh_voxel_grid_gnomonic", 1024,
+                gnomonic_pos_per_cell=2)
+    p = min(_psnr(x, e) for x, e in zip(g, exact))
+    # 400px / 128 voxels ~ 3.9 texels/voxel at the default supersample; the
+    # CPU-measured analogue (trained 64^3 at the same texel density) agreed
+    # at 52.3 dB — gate with margin, still far above visible-difference
+    # levels; tighten once the chip measurement lands
+    assert p > 45.0, p
