@@ -91,7 +91,7 @@ def main():
         [np.asarray(p.translation).reshape(3) for p in poses]), jnp.float32)
     images = jnp.asarray(np.stack(targets))
 
-    def train(warp_order, kacc):
+    def train(warp_order, kacc, jitter=False):
         init = VoxelGrid(
             densities=jax.random.uniform(kt, (N, N, N, 1), minval=-1.0,
                                          maxval=1.0),
@@ -107,13 +107,15 @@ def main():
         tx = optax.adam(0.03)
         g, opt = init, tx.init(init)
         picker = np.random.default_rng(7)
+        import jax as _jax
         for s in range(STEPS):
             idx = picker.choice(NVIEW, size=kacc, replace=False)
             if kacc == 1:
                 i = int(idx[0])
+                step_key = _jax.random.PRNGKey(s) if jitter else None
                 g, opt, m = gt.gnomonic_train_step(
                     tstat, tx, g, opt, images[i], rotations[i], origins[i],
-                    jnp.float32(FOCAL))
+                    jnp.float32(FOCAL), step_key)
             else:
                 j = jnp.asarray(idx)
                 g, opt, m = gt.gnomonic_train_step_multi(
@@ -123,13 +125,18 @@ def main():
         outs = exact_images(g, heldout, intr)
         mses = [float(np.mean((o - t) ** 2)) for o, t in zip(outs, heldout_gt)]
         psnr = float(np.mean([10 * np.log10(1.0 / max(m, 1e-12)) for m in mses]))
-        print(f"warp_order={warp_order} k={kacc}: heldout {psnr:.3f} dB "
+        print(f"warp_order={warp_order} k={kacc} jitter={jitter}: "
+              f"heldout {psnr:.3f} dB "
               f"(final step loss {float(m['total_loss']):.4f})", flush=True)
         return psnr
 
-    for kacc in (1, 4):
-        for order in (1, 3):
-            train(order, kacc)
+    if "--jitter" in sys.argv:
+        train(3, 1, jitter=False)
+        train(3, 1, jitter=True)
+    else:
+        for kacc in (1, 4):
+            for order in (1, 3):
+                train(order, kacc)
 
 
 if __name__ == "__main__":

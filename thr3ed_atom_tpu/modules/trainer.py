@@ -547,6 +547,9 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
             gn_poses_per_step = (
                 1 if use_mesh else max(1, round(ray_batch_size / _pose_rays))
             )
+            # the gnomonic analogue of the reference's stratified-jitter flag:
+            # per-step sub-texel phase shift of the resample frame (unbiased)
+            gn_jitter = bool(vol_mod.render_config.perturb_sampled_points)
             if gn_poses_per_step > 1:
                 log.info(
                     f"gnomonic whole-pose steps accumulate {gn_poses_per_step}"
@@ -664,6 +667,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                         tstat, tx, grid, opt_state,
                         images[idx], poses[idx, :, :3], poses[idx, :, 3],
                         jnp.float32(stage_intrinsics.focal),
+                        step_key if gn_jitter else None,
                     )
                 else:
                     p_i = int(pose_picker.choice(bucket))
@@ -671,6 +675,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                         tstat, tx, grid, opt_state,
                         images[p_i], poses[p_i, :, :3], poses[p_i, :, 3],
                         jnp.float32(stage_intrinsics.focal),
+                        step_key if gn_jitter else None,
                     )
             else:
                 grid, opt_state, metrics = _train_step(

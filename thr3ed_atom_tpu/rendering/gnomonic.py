@@ -654,10 +654,15 @@ class GnomonicGeometry(NamedTuple):
 def gnomonic_geometry(
     rotation, origin, statics: GnomonicStatics, height: int, width: int,
     focal, supersample: float, frame: Optional[Tuple[int, int]] = None,
+    phase: Optional[Tuple] = None,
 ) -> GnomonicGeometry:
     """All pose-dependent operands of the gnomonic march (in-jit, dynamic).
     ``frame`` overrides (Pn, Qn) — the training pipeline uses backward-sized
-    blocking (gnomonic_train.gnomonic_frame_train)."""
+    blocking (gnomonic_train.gnomonic_frame_train). ``phase`` (two scalars in
+    [-0.5, 0.5], texel units) shifts the whole texel frame sub-texel — the
+    warp compensates exactly, so a keyed per-step phase turns the fixed
+    resample grid into an unbiased stochastic quadrature over texel phase
+    (the gnomonic analogue of perturb_sampled_points)."""
     axis = statics.axis
     u_ax, v_ax = _uv_axes(axis)
     g = -1.0 if statics.flip else 1.0
@@ -682,6 +687,11 @@ def gnomonic_geometry(
     my = (y1 - y0) / Qn
     x0, x1 = x0 - mx, x1 + mx
     y0, y1 = y0 - my, y1 + my
+    if phase is not None:
+        dxt = mx * phase[0]
+        dyt = my * phase[1]
+        x0, x1 = x0 + dxt, x1 + dxt
+        y0, y1 = y0 + dyt, y1 + dyt
 
     xs = x0 + (x1 - x0) * jnp.arange(Pn, dtype=jnp.float32) / (Pn - 1)
     ys = y0 + (y1 - y0) * jnp.arange(Qn, dtype=jnp.float32) / (Qn - 1)

@@ -712,15 +712,21 @@ def make_gnomonic_train_statics(
 
 
 def render_pose_diff(voxel_grid: VoxelGrid, rotation, origin, focal,
-                     tstat: GnomonicTrainStatics):
+                     tstat: GnomonicTrainStatics, key=None):
     """Differentiable whole-pose render through the gnomonic pipeline.
-    Returns the warped RenderOut (colour [H, W, 3] + extra)."""
+    Returns the warped RenderOut (colour [H, W, 3] + extra). ``key`` enables
+    per-step sub-texel phase jitter of the resample frame (unbiased — the
+    warp compensates exactly; the gnomonic analogue of the reference's
+    perturb_sampled_points)."""
     statics = tstat.statics
     Pn, Qn, PB, Pb = tstat.frame
+    phase = None
+    if key is not None:
+        phase = tuple(jax.random.uniform(key, (2,), minval=-0.5, maxval=0.5))
     geo = jax.lax.stop_gradient(
         gnomonic_geometry(
             rotation, origin, statics, tstat.height, tstat.width, focal,
-            tstat.supersample, frame=(Pn, Qn),
+            tstat.supersample, frame=(Pn, Qn), phase=phase,
         )
     )
     from thr3ed_atom_tpu.rendering.gnomonic import _qb_blocks
@@ -744,10 +750,10 @@ def render_pose_diff(voxel_grid: VoxelGrid, rotation, origin, focal,
 
 
 def _pose_loss(tstat: GnomonicTrainStatics, g: VoxelGrid, image, rotation,
-               origin, focal):
+               origin, focal, key=None):
     """Whole-pose objective (same as the reference trainer: specular L1 +
     optional diffuse L1 regularization, trainers.py:311-330)."""
-    out = render_pose_diff(g, rotation, origin, focal, tstat)
+    out = render_pose_diff(g, rotation, origin, focal, tstat, key=key)
     colour = out.colour
     specular_loss = jnp.mean(jnp.abs(colour - image))
     specular_mse = jnp.mean((colour - image) ** 2)
@@ -779,11 +785,12 @@ def gnomonic_train_step(
     rotation: jnp.ndarray,  # [3, 3]
     origin: jnp.ndarray,  # [3]
     focal: jnp.ndarray,  # scalar
+    key=None,  # optional: per-step sub-texel phase jitter
 ):
     """One whole-pose optimization step."""
     (_loss, metrics), grads = jax.value_and_grad(
         partial(_pose_loss, tstat), has_aux=True
-    )(grid, image, rotation, origin, focal)
+    )(grid, image, rotation, origin, focal, key)
     updates, opt_state = tx.update(grads, opt_state, grid)
     grid = optax.apply_updates(grid, updates)
     return grid, opt_state, metrics
@@ -799,6 +806,7 @@ def gnomonic_train_step_multi(
     rotations: jnp.ndarray,  # [k, 3, 3]
     origins: jnp.ndarray,  # [k, 3]
     focal: jnp.ndarray,  # scalar
+    key=None,  # optional: per-pose sub-texel phase jitter
 ):
     """One optimization step on the AVERAGED gradient of k whole-pose losses
     (sequential lax.scan accumulation — one pipeline's activations live at a
@@ -809,21 +817,25 @@ def gnomonic_train_step_multi(
     trainers.py:271-341 samples rays across all views every step)."""
     k = images.shape[0]
     grad_fn = jax.value_and_grad(partial(_pose_loss, tstat), has_aux=True)
+    keys = None if key is None else jax.random.split(key, k)
 
     def body(acc, xs):
-        img, rot, org = xs
-        (_loss, aux), g = grad_fn(grid, img, rot, org, focal)
+        img, rot, org, kk = xs
+        (_loss, aux), g = grad_fn(grid, img, rot, org, focal, kk)
         return jax.tree_util.tree_map(jnp.add, acc, (g, aux)), None
 
     # zeros-initialized carry (shapes via eval_shape — no tracing cost) so the
     # compiled program contains ONE copy of the whole-pose fwd+bwd pipeline
     (_ls, aux_s), g_s = jax.eval_shape(
-        grad_fn, grid, images[0], rotations[0], origins[0], focal
+        grad_fn, grid, images[0], rotations[0], origins[0], focal,
+        None if keys is None else keys[0],
     )
     zero = jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), (g_s, aux_s)
     )
-    (gsum, auxsum), _ = jax.lax.scan(body, zero, (images, rotations, origins))
+    (gsum, auxsum), _ = jax.lax.scan(
+        body, zero, (images, rotations, origins, keys)
+    )
     grads = jax.tree_util.tree_map(lambda x: x / k, gsum)
     metrics = {k_: v / k for k_, v in auxsum.items()}
     updates, opt_state = tx.update(grads, opt_state, grid)
