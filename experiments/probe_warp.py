@@ -63,7 +63,7 @@ for P_ref in (4,):
     oc = np.asarray(oc)
     for P in (1, 2, 4):
         for ss in (1.25, 1.5, 2.0):
-            for order in (1, 3):
+            for order in (1, 3, 5):
                 cfg = SHVoxGridRenderConfig(
                     num_samples_per_ray=32,
                     camera_bounds=CameraBounds(1.0, 6.0),

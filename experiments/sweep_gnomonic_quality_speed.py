@@ -112,6 +112,9 @@ def main():
                                gnomonic_supersample=1.5,
                                gnomonic_warp_order=warp_order,
                                gnomonic_qb=128))
+    # prefiltered B-spline warp (+0.2-0.5 dB over CR at equal taps on CPU)
+    candidates.append(dict(gnomonic_pos_per_cell=2, gnomonic_supersample=1.25,
+                           gnomonic_warp_order=5, gnomonic_qb=128))
     for cfg in candidates:
         label = (f"P={cfg['gnomonic_pos_per_cell']} "
                  f"ss={cfg['gnomonic_supersample']} "

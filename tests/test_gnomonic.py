@@ -517,3 +517,35 @@ def test_effective_supersample_floor():
     assert gn.effective_supersample(3.0, mk(64), 64, 64) == 3.0
     # cap: 256^3 at a 64px thumbnail would want 10 -> capped at 4
     assert gn.effective_supersample(1.25, mk(256), 64, 64) == 4.0
+
+
+def test_bspline_warp_close_to_catmull_rom(key):
+    """warp_order=5 (prefiltered B-spline interpolation) must stay close to
+    the Catmull-Rom warp (same 16 taps, better frequency response) and keep
+    the white-background identity via the shared bilinear-hull clamp."""
+    grid = _make_grid(key, size=12, post="relu")
+    import dataclasses
+
+    coords = jnp.stack(jnp.meshgrid(*[jnp.arange(12)] * 3, indexing="ij"), -1)
+    dist = jnp.linalg.norm(coords - 5.5, axis=-1, keepdims=True)
+    grid = dataclasses.replace(
+        grid, densities=jnp.where(dist < 2.5, grid.densities, -1.0)
+    )
+    pose = pose_spherical(70.0, -25.0, 3.5)
+    intr = CameraIntrinsics(48, 48, 52.0)
+    o3 = gn.render_image_gnomonic(
+        grid, pose, intr, _config(white_bkgd=True, gnomonic_warp_order=3),
+        interpret=True,
+    )
+    o5 = gn.render_image_gnomonic(
+        grid, pose, intr, _config(white_bkgd=True, gnomonic_warp_order=5),
+        interpret=True,
+    )
+    c3, c5 = np.asarray(o3.colour), np.asarray(o5.colour)
+    assert np.isfinite(c5).all()
+    assert np.max(np.abs(c3 - c5)) < 0.05, np.max(np.abs(c3 - c5))
+    # white-bkgd identity: empty pixels stay exactly white under both
+    acc5 = np.asarray(o5.extra["accumulated_weight"])
+    empty = acc5[..., 0] == 0.0
+    assert empty.any()
+    assert np.all(c5[empty] == 1.0)

@@ -774,6 +774,45 @@ def _march_gnomonic(
     return state, geo.xr, geo.yr
 
 
+_BSPLINE_POLE = -0.26794919243112270647  # sqrt(3) - 2
+
+
+def _bspline_prefilter_axis0(a):
+    """Exact cubic-B-spline interpolation prefilter along axis 0 (causal +
+    anticausal first-order recursions, Unser 1999), lax.scan over rows."""
+    z = _BSPLINE_POLE
+    n = a.shape[0]
+    lam = (1.0 - z) * (1.0 - 1.0 / z)
+    a = a * lam
+    # causal init: truncated geometric sum of the first rows
+    k = jnp.arange(min(n, 30), dtype=jnp.float32)
+    w = z ** k
+    c0 = jnp.tensordot(w, a[: w.shape[0]], axes=(0, 0))
+
+    def fwd(carry, x):
+        c = x + z * carry
+        return c, c
+
+    _, cplus = jax.lax.scan(fwd, c0, a[1:])
+    cplus = jnp.concatenate([c0[None], cplus], axis=0)
+    # anticausal init
+    cN = (z / (z * z - 1.0)) * (cplus[-1] * z + cplus[-2])
+
+    def bwd(carry, x):
+        c = z * (carry - x)
+        return c, c
+
+    _, cminus = jax.lax.scan(bwd, cN, cplus[:-1][::-1])
+    return jnp.concatenate([cminus[::-1], cN[None]], axis=0)
+
+
+def _bspline_prefilter(img):
+    """Separable B-spline coefficient transform of [Pn, Qn, C]."""
+    img = _bspline_prefilter_axis0(img)
+    img = jnp.swapaxes(_bspline_prefilter_axis0(jnp.swapaxes(img, 0, 1)), 0, 1)
+    return img
+
+
 @partial(jax.jit, static_argnames=("statics", "height", "width", "supersample",
                                    "white_bkgd", "frame", "warp_order"))
 def _warp_to_camera(
@@ -829,13 +868,48 @@ def _warp_to_camera(
     fq = q - q0
     flat = src.reshape(Pn * Qn, gch)
 
-    def gat(dp, dq):
+    def gat(dp, dq, table=None):
         # clamped taps (the bicubic stencil reaches 1 texel outside the frame)
         pi = jnp.clip(p0 + dp, 0, Pn - 1)
         qi = jnp.clip(q0 + dq, 0, Qn - 1)
-        return jnp.take(flat, pi * Qn + qi, axis=0)
+        return jnp.take(flat if table is None else table,
+                        pi * Qn + qi, axis=0)
 
-    if warp_order == 3:
+    if warp_order == 5:
+        # prefiltered cubic B-spline INTERPOLATION: the separable IIR
+        # prefilter (pole z1 = sqrt(3) - 2) turns the texel image into
+        # B-spline coefficients, after which the smooth B-spline basis
+        # reproduces the samples exactly with a far better frequency response
+        # than Catmull-Rom at the same 16 gathered taps — lifts the
+        # warp-limited ceiling at zero texel-grid cost. The hull clamp against
+        # the UNfiltered bilinear taps still kills ringing and preserves the
+        # white-background identity.
+        coeffs = _bspline_prefilter(src)  # [Pn, Qn, gch]
+        cflat = coeffs.reshape(Pn * Qn, gch)
+
+        def bsplw(t):
+            t2 = t * t
+            t3 = t2 * t
+            return (
+                (1.0 - 3.0 * t + 3.0 * t2 - t3) / 6.0,
+                (4.0 - 6.0 * t2 + 3.0 * t3) / 6.0,
+                (1.0 + 3.0 * t + 3.0 * t2 - 3.0 * t3) / 6.0,
+                t3 / 6.0,
+            )
+
+        wps = bsplw(fp)
+        wqs = bsplw(fq)
+        out = 0.0
+        for ip, wp in enumerate(wps):
+            row = 0.0
+            for iq, wq in enumerate(wqs):
+                row = row + gat(ip - 1, iq - 1, cflat) * wq[..., None]
+            out = out + row * wp[..., None]
+        c00, c10, c01, c11 = gat(0, 0), gat(1, 0), gat(0, 1), gat(1, 1)
+        lo = jnp.minimum(jnp.minimum(c00, c10), jnp.minimum(c01, c11))
+        hi = jnp.maximum(jnp.maximum(c00, c10), jnp.maximum(c01, c11))
+        out = jnp.clip(out, lo, hi)
+    elif warp_order == 3:
         # separable Catmull-Rom: C1 reconstruction of the supersampled state.
         # The composited gnomonic field is smooth (it is an integral), so the
         # cubic's higher-order accuracy dominates the bilinear tent's O(h^2)
