@@ -80,6 +80,18 @@ from thr3ed_atom_tpu.utils.misc import log_config_to_disk  # noqa: E402
                    "fast = two-phase top-K over packed tables (float-precision parity); "
                    "exact = reference-semantics gather path; hierarchical = coarse-to-fine "
                    "importance sampling (num_samples is the total budget)")
+@click.option("--gnomonic_pos_per_cell", type=click.INT, default=0, show_default=True,
+              help="gnomonic march positions per cell (1/2/4/8; 0 = auto: constant "
+                   "world-space quadrature across stages)")
+@click.option("--gnomonic_supersample", type=click.FLOAT, default=1.25, show_default=True,
+              help="gnomonic texel grid supersampling over the image (a texels-per-voxel "
+                   "floor of 2.5 engages automatically at small images)")
+@click.option("--gnomonic_warp_order", type=click.INT, default=3, show_default=True,
+              help="gnomonic projective warp: 1 = bilinear, 3 = hull-clamped "
+                   "Catmull-Rom, 5 = prefiltered B-spline")
+@click.option("--gnomonic_qb", type=click.INT, default=0, show_default=True,
+              help="gnomonic q-block width (multiple of 128; 0 = whole-height stripes): "
+                   "finer-grain occupancy skipping and early exit in the composite kernel")
 @click.option("--fast_topk", type=click.INT, default=64, show_default=True,
               help="samples per ray shaded in the fast procedure's feature phase")
 @click.option("--fast_bf16_features", type=click.BOOL, default=False, show_default=True,
@@ -235,6 +247,10 @@ def main(**config) -> None:
             fast_topk=config["fast_topk"],
             fast_bf16_features=config["fast_bf16_features"],
             fast_pack_features=config["fast_pack_features"],
+            gnomonic_pos_per_cell=config["gnomonic_pos_per_cell"],
+            gnomonic_supersample=config["gnomonic_supersample"],
+            gnomonic_warp_order=config["gnomonic_warp_order"],
+            gnomonic_qb=config["gnomonic_qb"],
         ),
     )
 
