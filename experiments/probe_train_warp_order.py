@@ -16,7 +16,6 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
@@ -38,7 +37,8 @@ from thr3ed_atom_tpu.utils.camera import (  # noqa: E402
     pose_spherical,
 )
 
-STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 150
+_num_args = [a for a in sys.argv[1:] if not a.startswith("-")]
+STEPS = int(_num_args[0]) if _num_args else 150
 N = 16
 H = W = 32
 FOCAL = 36.0

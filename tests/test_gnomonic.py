@@ -519,6 +519,21 @@ def test_effective_supersample_floor():
     assert gn.effective_supersample(1.25, mk(256), 64, 64) == 4.0
 
 
+def test_bspline_prefilter_reconstructs_samples(key):
+    """The IIR prefilter must produce coefficients whose B-spline evaluation
+    reproduces the input samples EXACTLY — including the first/last rows
+    (mirror boundary; a swapped anticausal init fails there with O(1) error)."""
+    x = jax.random.normal(key, (40, 3))
+    c = np.asarray(gn._bspline_prefilter_axis0(x))
+    xn = np.asarray(x)
+    rec = (c[:-2] + 4.0 * c[1:-1] + c[2:]) / 6.0
+    assert np.max(np.abs(rec - xn[1:-1])) < 1e-5
+    rec_first = (c[1] + 4.0 * c[0] + c[1]) / 6.0
+    rec_last = (c[-2] + 4.0 * c[-1] + c[-2]) / 6.0
+    assert np.max(np.abs(rec_first - xn[0])) < 1e-5
+    assert np.max(np.abs(rec_last - xn[-1])) < 1e-5
+
+
 def test_bspline_warp_close_to_catmull_rom(key):
     """warp_order=5 (prefiltered B-spline interpolation) must stay close to
     the Catmull-Rom warp (same 16 taps, better frequency response) and keep

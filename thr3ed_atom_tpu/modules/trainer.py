@@ -658,6 +658,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                         poses[jnp.asarray(idx), :, :3],
                         poses[jnp.asarray(idx), :, 3],
                         jnp.float32(stage_intrinsics.focal),
+                        step_key if gn_jitter else None,
                     )
                 elif gn_poses_per_step > 1:
                     idx = jnp.asarray(

@@ -795,8 +795,8 @@ def _bspline_prefilter_axis0(a):
 
     _, cplus = jax.lax.scan(fwd, c0, a[1:])
     cplus = jnp.concatenate([c0[None], cplus], axis=0)
-    # anticausal init
-    cN = (z / (z * z - 1.0)) * (cplus[-1] * z + cplus[-2])
+    # anticausal init (Unser/Thevenaz): c-[N-1] = z/(z^2-1) * (z*c+[N-2] + c+[N-1])
+    cN = (z / (z * z - 1.0)) * (z * cplus[-2] + cplus[-1])
 
     def bwd(carry, x):
         c = z * (carry - x)
@@ -905,10 +905,6 @@ def _warp_to_camera(
             for iq, wq in enumerate(wqs):
                 row = row + gat(ip - 1, iq - 1, cflat) * wq[..., None]
             out = out + row * wp[..., None]
-        c00, c10, c01, c11 = gat(0, 0), gat(1, 0), gat(0, 1), gat(1, 1)
-        lo = jnp.minimum(jnp.minimum(c00, c10), jnp.minimum(c01, c11))
-        hi = jnp.maximum(jnp.maximum(c00, c10), jnp.maximum(c01, c11))
-        out = jnp.clip(out, lo, hi)
     elif warp_order == 3:
         # separable Catmull-Rom: C1 reconstruction of the supersampled state.
         # The composited gnomonic field is smooth (it is an integral), so the
@@ -933,20 +929,26 @@ def _warp_to_camera(
             for iq, wq in enumerate(wqs):
                 row = row + gat(ip - 1, iq - 1) * wq[..., None]
             out = out + row * wp[..., None]
-        # clamp to the bilinear tap hull: kills Catmull-Rom ringing (keeps
-        # empty background EXACTLY empty — the white-bkgd identity) while
-        # retaining the cubic's sharpness in smooth regions
-        c00, c10, c01, c11 = gat(0, 0), gat(1, 0), gat(0, 1), gat(1, 1)
-        lo = jnp.minimum(jnp.minimum(c00, c10), jnp.minimum(c01, c11))
-        hi = jnp.maximum(jnp.maximum(c00, c10), jnp.maximum(c01, c11))
-        out = jnp.clip(out, lo, hi)
-    else:
+    elif warp_order == 1:
         out = (
             gat(0, 0) * ((1 - fp) * (1 - fq))[..., None]
             + gat(1, 0) * (fp * (1 - fq))[..., None]
             + gat(0, 1) * ((1 - fp) * fq)[..., None]
             + gat(1, 1) * (fp * fq)[..., None]
         )  # [H, W, nch]
+    else:
+        raise ValueError(
+            f"gnomonic_warp_order must be 1 (bilinear), 3 (Catmull-Rom) or "
+            f"5 (prefiltered B-spline); got {warp_order}"
+        )
+    if warp_order in (3, 5):
+        # clamp cubics to the bilinear tap hull: kills ringing (keeps empty
+        # background EXACTLY empty — the white-bkgd identity) while retaining
+        # the cubic's sharpness in smooth regions
+        c00, c10, c01, c11 = gat(0, 0), gat(1, 0), gat(0, 1), gat(1, 1)
+        lo = jnp.minimum(jnp.minimum(c00, c10), jnp.minimum(c01, c11))
+        hi = jnp.maximum(jnp.maximum(c00, c10), jnp.maximum(c01, c11))
+        out = jnp.clip(out, lo, hi)
 
     colour = out[..., 0:3]
     acc = out[..., 3:4]

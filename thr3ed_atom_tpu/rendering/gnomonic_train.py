@@ -854,6 +854,7 @@ def gnomonic_train_step_mesh(
     rotations: jnp.ndarray,  # [n_dev, 3, 3] (all the SAME (axis, flip) variant)
     origins: jnp.ndarray,  # [n_dev, 3]
     focal: jnp.ndarray,  # scalar
+    key=None,  # optional: per-device sub-texel phase jitter
 ):
     """Pose-parallel gnomonic step over a "data" mesh: each device renders and
     differentiates one whole training view (one fused pipeline launch — the
@@ -866,9 +867,12 @@ def gnomonic_train_step_mesh(
     mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("data",))
 
     def device_fn(g, img, rot, org, foc):
+        kk = None
+        if key is not None:
+            kk = jax.random.fold_in(key, jax.lax.axis_index("data"))
         (_loss, aux), grads = jax.value_and_grad(
             partial(_pose_loss, tstat), has_aux=True
-        )(g, img[0], rot[0], org[0], foc)
+        )(g, img[0], rot[0], org[0], foc, kk)
         grads = jax.tree_util.tree_map(
             lambda x: jax.lax.psum(x, "data") / n_dev, grads
         )

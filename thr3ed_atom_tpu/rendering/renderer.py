@@ -96,7 +96,8 @@ class SHVoxGridRenderConfig:
     gnomonic_supersample: float = 1.25
     # final projective warp interpolation: 3 = separable Catmull-Rom bicubic
     # (default; C1 reconstruction, clears the bilinear warp's quality ceiling),
-    # 1 = bilinear (cheapest)
+    # 5 = prefiltered B-spline interpolation (same 16 taps, better frequency
+    # response; +0.2-0.5 dB over CR), 1 = bilinear (cheapest)
     gnomonic_warp_order: int = 3
     # per-u-block early exit threshold on transmittance for gnomonic renders
     # (0 disables; the training path always uses 0 so the VJP replay is exact)
