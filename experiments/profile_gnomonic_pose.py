@@ -36,15 +36,22 @@ IMAGE_SIZE = int(sys.argv[3]) if len(sys.argv) > 3 else 400
 QBW = int(sys.argv[4]) if len(sys.argv) > 4 else 0  # gnomonic_qb (q-split)
 
 
+def _sync(out):
+    # jax.block_until_ready does NOT block under the axon tunnel (see
+    # DESIGN_NOTES); force completion by pulling a device-reduced scalar
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def timed(label, fn, *args, n=20, reps=4):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     best = np.inf
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(n):
             out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, (time.perf_counter() - t0) / n)
     print(f"{label:34s} {best * 1e3:8.3f} ms", flush=True)
     return out, best

@@ -294,8 +294,12 @@ def test_occupancy_skip_and_early_exit_neutral(key):
         t1, geo.RvT, geo.ybasis, geo.live_u, geo.live_v, geo.norm, geo.geom,
         statics, Pn, Qn, PB, Pb, occupancy=None,
     )
+    from thr3ed_atom_tpu.rendering.warp_matmul import warp_swap_for_pose
+
     out_all = gn._warp_to_camera(
-        state_all, geo.xr, geo.yr, rot_j, statics, 32, 32, 36.0, 1.25, True
+        state_all, geo.xr, geo.yr, rot_j, statics, 32, 32, 36.0, 1.25, True,
+        warp_impl="matmul",
+        warp_swap=warp_swap_for_pose(rotation, axis, flip, 32, 32, 36.0),
     )
     np.testing.assert_array_equal(
         np.asarray(out_skip.colour), np.asarray(out_all.colour)

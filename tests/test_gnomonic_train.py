@@ -319,10 +319,15 @@ def test_render_pose_diff_matches_inference_render():
     rotation = jnp.asarray(np.asarray(pose.rotation).reshape(3, 3), jnp.float32)
     origin = jnp.asarray(np.asarray(pose.translation).reshape(3), jnp.float32)
     axis, flip = dominant_axis_for_pose(np.asarray(pose.rotation).reshape(3, 3))
+    from thr3ed_atom_tpu.rendering.warp_matmul import warp_swap_for_pose
+
+    swap = warp_swap_for_pose(
+        np.asarray(pose.rotation).reshape(3, 3), axis, flip, H, W, 26.0
+    )
     tstat = gt.make_gnomonic_train_statics(
         grid, axis, flip, image_height=H, image_width=W, white_bkgd=True,
         apply_diffuse_render_regularization=True, pos_per_cell=1,
-        interpret=True,
+        interpret=True, warp_swap=swap,
     )
     out_t = gt.render_pose_diff(grid, rotation, origin, jnp.float32(26.0), tstat)
 

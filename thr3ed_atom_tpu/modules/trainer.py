@@ -515,12 +515,22 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
 
             poses_np = np.asarray(stage_dataset.poses)
             # whole-pose steps: each iteration trains EVERY pixel of one view.
-            # The march (axis, flip) variant is a host decision (<= 6 compiled
-            # step programs per stage, cached by GnomonicTrainStatics hash).
-            pose_variants = [
-                dominant_axis_for_pose(poses_np[i][:, :3])
-                for i in range(len(poses_np))
-            ]
+            # The march (axis, flip) variant AND the matmul warp's pass order
+            # are host decisions (<= 12 compiled step programs per stage,
+            # cached by GnomonicTrainStatics hash).
+            from thr3ed_atom_tpu.rendering.warp_matmul import (
+                warp_swap_for_pose,
+            )
+
+            def _gn_variant(i):
+                a, f = dominant_axis_for_pose(poses_np[i][:, :3])
+                swap = warp_swap_for_pose(
+                    poses_np[i][:, :3], a, f, stage_intrinsics.height,
+                    stage_intrinsics.width, stage_intrinsics.focal,
+                )
+                return a, f, swap
+
+            pose_variants = [_gn_variant(i) for i in range(len(poses_np))]
             gnomonic_tstats = {}
             pose_picker = np.random.default_rng(seed + stage)
             gn_variant_buckets = {}
@@ -647,6 +657,10 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                         warp_order=vol_mod.render_config.gnomonic_warp_order,
                         interpret=jax.default_backend() == "cpu",
                         qb=getattr(vol_mod.render_config, "gnomonic_qb", 0),
+                        warp_impl=getattr(
+                            vol_mod.render_config, "gnomonic_warp_impl", "auto"
+                        ),
+                        warp_swap=variant[2],
                     )
                     gnomonic_tstats[variant] = tstat
                 bucket = gn_variant_buckets[variant]

@@ -814,7 +814,8 @@ def _bspline_prefilter(img):
 
 
 @partial(jax.jit, static_argnames=("statics", "height", "width", "supersample",
-                                   "white_bkgd", "frame", "warp_order"))
+                                   "white_bkgd", "frame", "warp_order",
+                                   "warp_impl", "warp_swap"))
 def _warp_to_camera(
     state,  # [SROWS, Pn, Qn] composited gnomonic state
     xr,
@@ -828,6 +829,8 @@ def _warp_to_camera(
     white_bkgd: bool,
     frame: Optional[Tuple[int, int]] = None,
     warp_order: int = 3,
+    warp_impl: str = "gather",
+    warp_swap: bool = False,
 ):
     axis = statics.axis
     u_ax, v_ax = _uv_axes(axis)
@@ -838,6 +841,20 @@ def _warp_to_camera(
         Pn, Qn, _PB, _Pb = gnomonic_frame(
             None, height, width, focal, supersample, statics
         )
+    if warp_impl == "matmul":
+        from thr3ed_atom_tpu.rendering.warp_matmul import warp_state_matmul
+
+        out = warp_state_matmul(
+            state, xr, yr, rotation, statics, height, width, focal, Pn, Qn,
+            int(warp_order), bool(warp_swap), statics.interpret,
+        )
+        # |R @ dirs_cam| = |dirs_cam| (R orthonormal) — no pixel-dir field
+        px = jnp.arange(width, dtype=jnp.float32) + 0.5
+        py = jnp.arange(height, dtype=jnp.float32) + 0.5
+        cx = (px[None, :] - width / 2) / focal
+        cy = -(py[:, None] - height / 2) / focal
+        dnorm = jnp.sqrt(1.0 + cx * cx + cy * cy)[..., None]
+        return _finalize_warped(out, dnorm, statics, white_bkgd)
     x0, x1 = xr
     y0, y1 = yr
     nch = 8 if statics.with_diffuse else 5
@@ -950,10 +967,15 @@ def _warp_to_camera(
         hi = jnp.maximum(jnp.maximum(c00, c10), jnp.maximum(c01, c11))
         out = jnp.clip(out, lo, hi)
 
-    colour = out[..., 0:3]
-    acc = out[..., 3:4]
     # depth in world units -> reference convention (units of the pinhole dir)
     dnorm = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return _finalize_warped(out, dnorm, statics, white_bkgd)
+
+
+def _finalize_warped(out, dnorm, statics: GnomonicStatics, white_bkgd: bool):
+    """Shared post-warp channel unpacking (gather and matmul warp paths)."""
+    colour = out[..., 0:3]
+    acc = out[..., 3:4]
     depth = out[..., 4:5] / dnorm
     if white_bkgd:
         colour = colour + (1.0 - acc)
@@ -1060,10 +1082,21 @@ def render_image_gnomonic(
     state, xr, yr = _march_gnomonic(
         slices, rot_j, origin, statics, height, width, focal, supersample
     )
+    warp_impl = str(getattr(config, "gnomonic_warp_impl", "auto"))
+    if warp_impl == "auto":
+        warp_impl = "matmul"
+    warp_swap = False
+    if warp_impl == "matmul":
+        from thr3ed_atom_tpu.rendering.warp_matmul import warp_swap_for_pose
+
+        warp_swap = warp_swap_for_pose(rotation, axis, flip, height, width,
+                                       focal)
     return _warp_to_camera(
         state, xr, yr, rot_j, statics, height, width, focal, supersample,
         bool(config.white_bkgd),
         warp_order=int(getattr(config, "gnomonic_warp_order", 3)),
+        warp_impl=warp_impl,
+        warp_swap=warp_swap,
     )
 
 

@@ -669,6 +669,11 @@ class GnomonicTrainStatics(NamedTuple):
     apply_diffuse_render_regularization: bool
     frame: Tuple[int, int, int, int]  # Pn, Qn, PB, Pb
     warp_order: int = 3
+    # warp implementation + pass order (see rendering/warp_matmul.py); the
+    # swap flag is a per-pose host decision — the trainer buckets poses by
+    # (axis, flip, swap) so each compiled step program has a fixed value
+    warp_impl: str = "gather"
+    warp_swap: bool = False
 
 
 def make_gnomonic_train_statics(
@@ -685,6 +690,8 @@ def make_gnomonic_train_statics(
     warp_order: int = 3,
     interpret: bool = False,
     qb: int = 0,
+    warp_impl: str = "auto",
+    warp_swap: bool = False,
 ) -> GnomonicTrainStatics:
     from thr3ed_atom_tpu.rendering.gnomonic import effective_supersample
 
@@ -697,6 +704,8 @@ def make_gnomonic_train_statics(
         float(supersample), statics, image_height, image_width
     )
     frame = gnomonic_frame_train(image_height, image_width, supersample, statics)
+    if warp_impl == "auto":
+        warp_impl = "matmul"
     return GnomonicTrainStatics(
         statics=statics,
         height=int(image_height),
@@ -708,6 +717,8 @@ def make_gnomonic_train_statics(
         ),
         frame=frame,
         warp_order=int(warp_order),
+        warp_impl=str(warp_impl),
+        warp_swap=bool(warp_swap),
     )
 
 
@@ -745,7 +756,8 @@ def render_pose_diff(voxel_grid: VoxelGrid, rotation, origin, focal,
     return _warp_to_camera(
         state, geo.xr, geo.yr, rotation, statics, tstat.height, tstat.width,
         focal, tstat.supersample, tstat.white_bkgd, frame=(Pn, Qn),
-        warp_order=tstat.warp_order,
+        warp_order=tstat.warp_order, warp_impl=tstat.warp_impl,
+        warp_swap=tstat.warp_swap,
     )
 
 

@@ -99,6 +99,10 @@ class SHVoxGridRenderConfig:
     # 5 = prefiltered B-spline interpolation (same 16 taps, better frequency
     # response; +0.2-0.5 dB over CR), 1 = bilinear (cheapest)
     gnomonic_warp_order: int = 3
+    # warp implementation: "matmul" = two-pass scanline-matmul warp
+    # (rendering/warp_matmul.py — zero gathers, matmul adjoint), "gather" =
+    # per-pixel tap gathers (the oracle path), "auto" = matmul
+    gnomonic_warp_impl: str = "auto"
     # per-u-block early exit threshold on transmittance for gnomonic renders
     # (0 disables; the training path always uses 0 so the VJP replay is exact)
     gnomonic_exit_eps: float = 1e-4
