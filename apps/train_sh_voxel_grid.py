@@ -89,7 +89,7 @@ from thr3ed_atom_tpu.utils.misc import log_config_to_disk  # noqa: E402
 @click.option("--gnomonic_warp_order", type=click.INT, default=3, show_default=True,
               help="gnomonic projective warp: 1 = bilinear, 3 = hull-clamped "
                    "Catmull-Rom, 5 = prefiltered B-spline")
-@click.option("--gnomonic_qb", type=click.INT, default=0, show_default=True,
+@click.option("--gnomonic_qb", type=click.INT, default=128, show_default=True,
               help="gnomonic q-block width (multiple of 128; 0 = whole-height stripes): "
                    "finer-grain occupancy skipping and early exit in the composite kernel")
 @click.option("--fast_topk", type=click.INT, default=64, show_default=True,

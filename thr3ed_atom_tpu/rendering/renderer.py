@@ -109,8 +109,10 @@ class SHVoxGridRenderConfig:
     # q-block width (texels, multiple of 128; 0 = whole-Qn stripes): splits the
     # composite grid's q axis so occupancy skipping and early exit act at
     # [Pb, qb] grain — on white-background scenes full-height stripes mix
-    # object and sky (where T stays 1) and rarely skip
-    gnomonic_qb: int = 0
+    # object and sky (where T stays 1) and rarely skip. Chip A/B (v5e,
+    # 128^3/400px): qb=128 renders 12% faster than stripes (7.53 vs 8.47
+    # ms/pose) and trains 1.4% faster — the measured default.
+    gnomonic_qb: int = 128
 
     def replace(self, **overrides) -> "SHVoxGridRenderConfig":
         return dataclasses.replace(self, **overrides)
