@@ -72,9 +72,12 @@ from thr3ed_atom_tpu.utils.misc import log_config_to_disk  # noqa: E402
                                  "render_sh_voxel_grid_bricked",
                                  "render_sh_voxel_grid_fast", "render_sh_voxel_grid",
                                  "render_sh_voxel_grid_hierarchical"]),
-              default="render_sh_voxel_grid_bricked", show_default=True,
+              default="render_sh_voxel_grid_gnomonic", show_default=True,
               help="gnomonic = shear-warp pipeline (whole-pose training steps, "
-                   "dense MXU resample, SH degree <= 3); "
+                   "dense MXU resample, SH degree <= 3) — the production default: "
+                   "fastest measured path AND best end-to-end heldout PSNR "
+                   "(PARITY_RUN.md round-3 re-run: 36.2 fast-eval vs 34.2 "
+                   "reference/classic on the parity protocol); "
                    "bricked = fused slab-march Pallas kernel (tile-based training, "
                    "whole-image renders); "
                    "fast = two-phase top-K over packed tables (float-precision parity); "
