@@ -32,6 +32,46 @@ from thr3ed_atom_tpu.utils.logging import log  # noqa: E402
 from thr3ed_atom_tpu.utils.misc import log_config_to_disk  # noqa: E402
 
 
+def resolve_render_procedure(
+    render_procedure: str, sh_degree: int, use_softplus_field: bool
+) -> str:
+    """Route the requested procedure around the Pallas kernels' static limits.
+
+    The march kernels support identity/relu density postactivation only; the
+    slab-march (bricked) kernel packs (features ++ density) into 32-lane slabs
+    (SH degree <= 2); the gnomonic pipeline's dense texel formulation has no
+    lane cap but its in-kernel SH basis stops at degree 3. ops/sh.py and the
+    classic/fast renderers go to degree 4, so anything unsupported falls back
+    to render_sh_voxel_grid_fast with a logged switch instead of an assert."""
+    if render_procedure == "render_sh_voxel_grid_bricked" and (
+        sh_degree > 2 or use_softplus_field
+    ):
+        if use_softplus_field:
+            log.info(
+                "bricked renderer does not support softplus fields; "
+                "falling back to render_sh_voxel_grid_fast"
+            )
+            return "render_sh_voxel_grid_fast"
+        log.info(
+            "bricked renderer supports sh_degree <= 2; using the gnomonic "
+            "shear-warp procedure for sh_degree 3+"
+        )
+        render_procedure = "render_sh_voxel_grid_gnomonic"
+    if render_procedure == "render_sh_voxel_grid_gnomonic" and (
+        sh_degree > 3 or use_softplus_field
+    ):
+        reason = (
+            "softplus fields" if use_softplus_field
+            else f"sh_degree {sh_degree} (supports <= 3)"
+        )
+        log.info(
+            f"gnomonic renderer does not support {reason}; "
+            "falling back to render_sh_voxel_grid_fast"
+        )
+        return "render_sh_voxel_grid_fast"
+    return render_procedure
+
+
 # fmt: off
 @click.command()
 # Required arguments:
@@ -207,36 +247,9 @@ def main(**config) -> None:
         **activations,
     )
 
-    render_procedure = config["render_procedure"]
-    if render_procedure == "render_sh_voxel_grid_bricked" and (
-        config["sh_degree"] > 2 or config["use_softplus_field"]
-    ):
-        if config["use_softplus_field"]:
-            # the Pallas march kernels support identity/relu density
-            # postactivation only
-            log.info(
-                "bricked renderer does not support softplus fields; "
-                "falling back to render_sh_voxel_grid_fast"
-            )
-            render_procedure = "render_sh_voxel_grid_fast"
-        else:
-            # the slab-march kernel packs (features ++ density) into 32-lane
-            # slabs (SH degree <= 2); the gnomonic pipeline's dense texel
-            # formulation has no lane cap and renders/trains degree 3
-            log.info(
-                "bricked renderer supports sh_degree <= 2; using the gnomonic "
-                "shear-warp procedure for sh_degree 3"
-            )
-            render_procedure = "render_sh_voxel_grid_gnomonic"
-    if (
-        render_procedure == "render_sh_voxel_grid_gnomonic"
-        and config["use_softplus_field"]
-    ):
-        log.info(
-            "gnomonic renderer does not support softplus fields; "
-            "falling back to render_sh_voxel_grid_fast"
-        )
-        render_procedure = "render_sh_voxel_grid_fast"
+    render_procedure = resolve_render_procedure(
+        config["render_procedure"], config["sh_degree"], config["use_softplus_field"]
+    )
 
     vol_mod = VolumetricModel(
         thre3d_repr=voxel_grid,

@@ -1,9 +1,13 @@
 #!/bin/bash
 # Round-3 continuation battery: runs AFTER bench.py frees the chip.
 # Serialized — one TPU process at a time.
-cd /root/repo
+cd /root/repo || exit 1
 LOG=/tmp/chip_queue2.log
-echo "=== chip queue v3 started $(date) ===" >> "$LOG"
+if [ ! -d /tmp/parity_ds2 ]; then
+  echo "missing /tmp/parity_ds2 (created by chip_queue.sh); aborting" >> "$LOG"
+  exit 1
+fi
+echo "=== chip_queue2 started $(date) ===" >> "$LOG"
 
 # 1) train bench (gnomonic whole-pose) — headline + breakdown
 echo "--- bench_train.py ($(date)) ---" >> "$LOG"

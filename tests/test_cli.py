@@ -83,6 +83,27 @@ def test_bad_camera_path_rejected(render_cli):
     assert "zigzag" in result.output
 
 
+def test_render_procedure_fallback_routing(train_cli):
+    """Unsupported (procedure, sh_degree, softplus) combos route to a capable
+    procedure with a logged switch, never an in-kernel assert (ADVICE round 3:
+    --sh_degree 4 under the gnomonic default must not die)."""
+    resolve = sys.modules["train_sh_voxel_grid"].resolve_render_procedure
+    gn, br, fast = (
+        "render_sh_voxel_grid_gnomonic",
+        "render_sh_voxel_grid_bricked",
+        "render_sh_voxel_grid_fast",
+    )
+    assert resolve(gn, 2, False) == gn
+    assert resolve(gn, 3, False) == gn
+    assert resolve(gn, 4, False) == fast
+    assert resolve(gn, 2, True) == fast
+    assert resolve(br, 2, False) == br
+    assert resolve(br, 3, False) == gn
+    assert resolve(br, 4, False) == fast
+    assert resolve(br, 2, True) == fast
+    assert resolve(fast, 4, True) == fast
+
+
 def test_bad_downsample_rejected(train_cli):
     result = CliRunner().invoke(
         train_cli, ["-d", "/tmp", "-o", "/tmp/x", "--data_downsample_factor", "0.5"]
