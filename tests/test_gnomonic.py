@@ -374,6 +374,46 @@ def test_registered_procedure_and_volmod_dispatch(key):
     )
 
 
+def test_render_poses_batched_matches_per_pose(key):
+    """The batched multi-pose path (one lax.map dispatch per march variant,
+    rendering/gnomonic.py render_poses_gnomonic) must reproduce the per-pose
+    renders exactly, in input order, across variant boundaries and group-batch
+    splits."""
+    from thr3ed_atom_tpu.modules.volumetric_model import VolumetricModel
+    from thr3ed_atom_tpu.rendering import gnomonic as gn
+
+    grid = _make_grid(key, post="relu")
+    config = _config(white_bkgd=True)
+    intr = CameraIntrinsics(24, 24, 26.0)
+    # poses spanning multiple dominant-axis variants
+    poses = [
+        pose_spherical(yaw, pitch, 3.5)
+        for yaw, pitch in [(10.0, -55.0), (100.0, -10.0), (200.0, -80.0),
+                           (10.0, -56.0), (280.0, -20.0)]
+    ]
+    batched = gn.render_poses_gnomonic(
+        grid, poses, intr, config, group_batch=2
+    )
+    assert batched.colour.shape == (len(poses), 24, 24, 3)
+    for i, pose in enumerate(poses):
+        single = gn.render_image_gnomonic(grid, pose, intr, config)
+        np.testing.assert_allclose(
+            np.asarray(batched.colour[i]), np.asarray(single.colour), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched.depth[i]), np.asarray(single.depth), atol=1e-6
+        )
+    # the VolumetricModel dispatcher reaches the same path
+    vm = VolumetricModel(
+        grid, render_procedure="render_sh_voxel_grid_gnomonic",
+        render_config=config,
+    )
+    out_vm = vm.render_poses(poses[:2], intr)
+    np.testing.assert_allclose(
+        np.asarray(out_vm.colour), np.asarray(batched.colour[:2]), atol=1e-6
+    )
+
+
 def test_gnomonic_degree3_matches_oracle(key):
     """Degree-3 SH (16 coeffs, 48+1 channels) on the gnomonic path — the dense
     formulation has no slab-lane cap (reference spherical_harmonics.py:79

@@ -202,6 +202,41 @@ class VolumetricModel:
         )
         return reshape_rendered_output(rendered, camera_intrinsics)
 
+    def render_poses(
+        self,
+        camera_poses,
+        camera_intrinsics: CameraIntrinsics,
+        key: Optional[jax.Array] = None,
+        **config_overrides,
+    ) -> RenderOut:
+        """Render a sequence of poses with a leading pose axis on every output.
+
+        Pose-structured procedures (gnomonic) render each march-axis variant's
+        poses in ONE batched dispatch (rendering/gnomonic.py
+        render_poses_gnomonic) — the TPU-idiomatic form of the reference's
+        per-pose loop (animations.py:17-64); other procedures fall back to a
+        per-pose render loop with identical outputs."""
+        overrides = dict(config_overrides)
+        overrides.setdefault("perturb_sampled_points", False)
+        config = self._render_config.replace(**overrides)
+        poses_fn = getattr(self.render_procedure, "render_poses", None)
+        if poses_fn is not None:
+            if not hasattr(self, "_image_render_cache"):
+                self._image_render_cache = {}
+            return poses_fn(
+                self._thre3d_repr,
+                camera_poses,
+                camera_intrinsics,
+                config,
+                key=key,
+                cache=self._image_render_cache,
+            )
+        outs = [
+            self.render(pose, camera_intrinsics, key=key, **config_overrides)
+            for pose in camera_poses
+        ]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *outs)
+
     def _get_prepared(self, config):
         """Cache the render procedure's per-grid precomputation (e.g. packed tables)
         across render calls; invalidated when the grid's arrays or the config change."""

@@ -1100,6 +1100,144 @@ def render_image_gnomonic(
     )
 
 
+@partial(jax.jit, static_argnames=("statics", "height", "width", "supersample",
+                                   "white_bkgd", "warp_order", "warp_impl",
+                                   "warp_swap"))
+def _render_poses_batched(slices, rotations, origins, focal, statics, height,
+                          width, supersample, white_bkgd, warp_order,
+                          warp_impl, warp_swap):
+    """lax.map the march+warp over a stack of poses sharing one march-axis
+    variant — ONE device dispatch for the whole stack. Under the axon tunnel a
+    dispatch costs ~4.3 ms of host time (experiments/probe_dispatch_share.py),
+    which bounds per-pose rendering at ~230 poses/s no matter how fast the
+    device gets; batching removes the host from the per-pose path entirely."""
+
+    def one(ro):
+        rot, org = ro
+        state, xr, yr = _march_gnomonic(
+            slices, rot, org, statics, height, width, focal, supersample
+        )
+        return _warp_to_camera(
+            state, xr, yr, rot, statics, height, width, focal, supersample,
+            white_bkgd, warp_order=warp_order, warp_impl=warp_impl,
+            warp_swap=warp_swap,
+        )
+
+    return jax.lax.map(one, (rotations, origins))
+
+
+def render_poses_gnomonic(
+    voxel_grid: VoxelGrid,
+    camera_poses,
+    camera_intrinsics,
+    config,
+    key: Optional[jax.Array] = None,
+    cache: Optional[dict] = None,
+    interpret: Optional[bool] = None,
+    group_batch: int = 32,
+) -> RenderOut:
+    """Render a SEQUENCE of camera poses through the gnomonic pipeline with
+    batched dispatch: poses are grouped by their (march axis, flip, warp-pass
+    order) variant, each group renders in one jitted lax.map (at most 12
+    programs regardless of pose count), and the outputs are re-assembled in
+    input order with a leading pose axis. ``group_batch`` bounds the per-
+    dispatch output footprint (k * H * W * 8 f32).
+
+    This is the TPU-idiomatic form of the reference's per-pose render loop
+    (thre3d_atom/visualizations/animations.py:17-64): same per-pose outputs,
+    amortized dispatch."""
+    del key  # deterministic
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    want_diffuse = bool(
+        getattr(config, "also_render_diffuse", False)
+        or getattr(config, "render_diffuse", False)
+    )
+    height = int(camera_intrinsics.height)
+    width = int(camera_intrinsics.width)
+    focal = float(camera_intrinsics.focal)
+    warp_impl = str(getattr(config, "gnomonic_warp_impl", "auto"))
+    if warp_impl == "auto":
+        warp_impl = "matmul"
+    warp_order = int(getattr(config, "gnomonic_warp_order", 3))
+
+    rotations = [
+        np.asarray(p.rotation, np.float32).reshape(3, 3) for p in camera_poses
+    ]
+    origins = [
+        np.asarray(p.translation, np.float32).reshape(3) for p in camera_poses
+    ]
+    groups: dict = {}
+    for i, rot in enumerate(rotations):
+        axis, flip = dominant_axis_for_pose(rot)
+        swap = False
+        if warp_impl == "matmul":
+            from thr3ed_atom_tpu.rendering.warp_matmul import warp_swap_for_pose
+
+            swap = warp_swap_for_pose(rot, axis, flip, height, width, focal)
+        groups.setdefault((axis, flip, swap), []).append(i)
+
+    order: list = []
+    outputs: list = []
+    for (axis, flip, swap), idx in groups.items():
+        statics = statics_for_grid(
+            voxel_grid,
+            axis,
+            flip,
+            with_diffuse=want_diffuse,
+            pos_per_cell=getattr(config, "gnomonic_pos_per_cell", 0),
+            exit_eps=float(getattr(config, "gnomonic_exit_eps", 0.0)),
+            interpret=interpret,
+            qb=int(getattr(config, "gnomonic_qb", 0)),
+        )
+        supersample = effective_supersample(
+            float(getattr(config, "gnomonic_supersample", DEFAULT_SUPERSAMPLE)),
+            statics, height, width,
+        )
+        slices = None
+        cache_key = ("gnomonic", axis, flip, statics.pos_per_cell)
+        if cache is not None:
+            entry = cache.get(cache_key)
+            if (
+                entry is not None
+                and entry[0] is voxel_grid.densities
+                and entry[1] is voxel_grid.features
+            ):
+                slices = entry[2]
+        if slices is None:
+            slices = _repack_jit(voxel_grid, statics)
+            if cache is not None:
+                cache[cache_key] = (
+                    voxel_grid.densities, voxel_grid.features, slices
+                )
+        for start in range(0, len(idx), group_batch):
+            chunk = idx[start:start + group_batch]
+            order.extend(chunk)
+            outputs.append(
+                _render_poses_batched(
+                    slices,
+                    jnp.asarray(np.stack([rotations[i] for i in chunk])),
+                    jnp.asarray(np.stack([origins[i] for i in chunk])),
+                    jnp.float32(focal),
+                    statics,
+                    height,
+                    width,
+                    supersample,
+                    bool(config.white_bkgd),
+                    warp_order,
+                    warp_impl,
+                    swap,
+                )
+            )
+    inverse = np.empty(len(order), np.int64)
+    inverse[np.asarray(order)] = np.arange(len(order))
+    inv = jnp.asarray(inverse)
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.take(jnp.concatenate(xs, axis=0), inv, axis=0),
+        *outputs,
+    )
+
+
 class _GnomonicProcedure:
     """RENDER_PROCEDURES entry: gnomonic rendering is pose-structured — whole
     camera poses go through render_image (VolumetricModel.render dispatches
@@ -1109,6 +1247,7 @@ class _GnomonicProcedure:
 
     prepare = None
     render_image = staticmethod(render_image_gnomonic)
+    render_poses = staticmethod(render_poses_gnomonic)
     _warned_flat_rays = False
 
     def __call__(self, voxel_grid, rays, render_config, key=None, prepared=None):
