@@ -74,11 +74,24 @@ def main():
     report("exact@256 vs exact@1024", render("render_sh_voxel_grid", 256))
     report("exact@512 vs exact@1024", render("render_sh_voxel_grid", 512))
     for P in (1, 2):
+        for impl in ("matmul", "gather"):
+            for order in (3,) if impl == "matmul" else (1, 3, 5):
+                frames = render(
+                    "render_sh_voxel_grid_gnomonic", 256,
+                    gnomonic_pos_per_cell=P, gnomonic_qb=128,
+                    gnomonic_warp_impl=impl, gnomonic_warp_order=order,
+                )
+                report(
+                    f"gnomonic P={P} warp={impl} order={order} vs exact@1024",
+                    frames,
+                )
+    for ss in (1.5, 2.0):
         frames = render(
             "render_sh_voxel_grid_gnomonic", 256,
-            gnomonic_pos_per_cell=P, gnomonic_qb=128,
+            gnomonic_pos_per_cell=1, gnomonic_qb=128,
+            gnomonic_supersample=ss,
         )
-        report(f"gnomonic P={P} (CR matmul warp) vs exact@1024", frames)
+        report(f"gnomonic P=1 matmul CR ss={ss} vs exact@1024", frames)
 
 
 if __name__ == "__main__":

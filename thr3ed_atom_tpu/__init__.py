@@ -23,14 +23,20 @@ if _os.environ.get("JAX_PLATFORMS"):
         pass
 
 # Persistent compilation cache: TPU AOT compiles of the large fused train/render
-# programs take minutes; cache them across processes.
-try:
-    import jax as _jax
+# programs take minutes; cache them across processes. NOT enabled for forced-CPU
+# runs (tests): XLA:CPU cache entries embed host-CPU features, and loading an
+# entry AOT-compiled on a different host (deployment machines change between
+# sessions) can SIGILL/segfault the process. CPU compiles are fast anyway.
+if _os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
+    try:
+        import jax as _jax
 
-    _jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache"),
-    )
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-except Exception:
-    pass
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache"
+            ),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass

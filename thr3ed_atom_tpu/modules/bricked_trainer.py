@@ -146,7 +146,8 @@ def _sample_tiles(
         axis=-1,
     ).reshape(nt, tp * tp, 3)
     pose = poses[pose_idx]  # [NT, 3, 4]
-    rays_d = jnp.einsum("nij,ntj->nti", pose[:, :, :3], dirs_cam)
+    rays_d = jnp.einsum("nij,ntj->nti", pose[:, :, :3], dirs_cam,
+                        precision=jax.lax.Precision.HIGHEST)
     rays_o = jnp.broadcast_to(pose[:, None, :, 3], rays_d.shape)
     return rays_o, rays_d, pixels
 

@@ -119,7 +119,8 @@ def _sample_ray_pixel_batch(
 
     rotations = poses[img_idx, :, :3]  # [B, 3, 3]
     translations = poses[img_idx, :, 3]  # [B, 3]
-    rays_d = jnp.einsum("bij,bj->bi", rotations, dirs_cam)
+    rays_d = jnp.einsum("bij,bj->bi", rotations, dirs_cam,
+                        precision=jax.lax.Precision.HIGHEST)
     return Rays(origins=translations, directions=rays_d), pixels
 
 

@@ -89,4 +89,5 @@ def packed_trilinear_sample(
     flat_cell, weights, _ = _cell_and_weights(coords, dims)
     rows = jnp.take(packed, flat_cell, axis=0)  # [N, 8*C]
     rows = rows.reshape(-1, 8, C)
-    return jnp.einsum("nk,nkc->nc", weights, rows)
+    return jnp.einsum("nk,nkc->nc", weights, rows,
+                      precision=jax.lax.Precision.HIGHEST)

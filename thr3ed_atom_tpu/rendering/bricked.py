@@ -590,7 +590,8 @@ def _tile_image_rays(height_pad, width_pad, focal, height, width, rotation,
         [(xg - width * 0.5) / focal, -(yg - height * 0.5) / focal, -jnp.ones_like(xg)],
         axis=-1,
     )
-    rays_d = jnp.einsum("ij,hwj->hwi", rotation, dirs_cam)
+    rays_d = jnp.einsum("ij,hwj->hwi", rotation, dirs_cam,
+                        precision=jax.lax.Precision.HIGHEST)
     rays_o = jnp.broadcast_to(translation.reshape(3), rays_d.shape)
 
     th, tw = height_pad // tile_px, width_pad // tile_px

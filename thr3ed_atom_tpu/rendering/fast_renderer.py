@@ -186,6 +186,7 @@ def _shade_samples(
             "nk,nkc->nc",
             sel_tri_w,
             feature_rows.reshape(-1, 8, F).astype(sel_tri_w.dtype),
+            precision=jax.lax.Precision.HIGHEST,
         )
     else:  # raw [W, D, H, F] grid (huge-grid mode): 8 corner gathers per sample
         from thr3ed_atom_tpu.ops.grid_sample import trilinear_grid_sample

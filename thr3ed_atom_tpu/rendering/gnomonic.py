@@ -219,7 +219,8 @@ def _corner_ranges(rotation, height, width, focal, statics):
         [(cx - width / 2) / focal, -(cy - height / 2) / focal, -jnp.ones(4)],
         axis=-1,
     )
-    d = dirs_cam @ rotation.T
+    d = jnp.matmul(dirs_cam, rotation.T,
+                   precision=jax.lax.Precision.HIGHEST)
     x_c = g * d[:, u_ax] / d[:, axis]
     y_c = g * d[:, v_ax] / d[:, axis]
     return (jnp.min(x_c), jnp.max(x_c)), (jnp.min(y_c), jnp.max(y_c))
@@ -874,7 +875,8 @@ def _warp_to_camera(
          -jnp.ones_like(gx)],
         axis=-1,
     )
-    d = jnp.einsum("ij,hwj->hwi", rotation, dirs_cam)
+    d = jnp.einsum("ij,hwj->hwi", rotation, dirs_cam,
+                   precision=jax.lax.Precision.HIGHEST)
     x = g * d[..., u_ax] / d[..., axis]
     y = g * d[..., v_ax] / d[..., axis]
     p = (x - x0) / (x1 - x0) * (Pn - 1)

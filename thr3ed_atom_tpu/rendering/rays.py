@@ -47,7 +47,8 @@ def cast_rays(camera_intrinsics: CameraIntrinsics, pose: CameraPose) -> Rays:
         axis=-1,
     )  # [H, W, 3]
 
-    rays_d = jnp.einsum("ij,hwj->hwi", rotation, dirs)
+    rays_d = jnp.einsum("ij,hwj->hwi", rotation, dirs,
+                        precision=jax.lax.Precision.HIGHEST)
     rays_o = jnp.broadcast_to(translation.reshape(-1), rays_d.shape)
     return Rays(origins=rays_o, directions=rays_d)
 

@@ -88,14 +88,23 @@ def _make_resample_kernel(CH: int, K: int, N: int, order: int, adjoint: bool,
                 oh0 = (kf == p0).astype(jnp.float32)
                 oh1 = (kf == p0 + 1.0).astype(jnp.float32)
                 w = jnp.concatenate([w, oh0, oh1], axis=1)  # [K, 3N]
+            # Precision.HIGHEST: these are f32 value x f32 weight matmuls.
+            # The MXU's default single-pass mode quantizes BOTH operands to
+            # bf16, turning the interpolation weights into ~3-digit numbers —
+            # measured as an ss-INDEPENDENT ~55 dB quality ceiling on the
+            # whole render (experiments/probe_quadrature_fairness.py) while
+            # the f32 gather warp reached 79 dB. The multi-pass f32 algorithm
+            # restores exactness; the warp is a tiny share of pose time.
             if adjoint:
                 o_ref[i] = jax.lax.dot_general(
                     x_ref[i], w, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
             else:
                 o_ref[i] = jnp.dot(
-                    x_ref[i], w, preferred_element_type=jnp.float32
+                    x_ref[i], w, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
 
     return kernel

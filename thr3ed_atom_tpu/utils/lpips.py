@@ -94,12 +94,17 @@ def _vgg_taps(weights, x):
                 x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             )
             continue
+        # Precision.HIGHEST: TPU's default single-pass matmul/conv mode
+        # quantizes f32 operands to bf16; this is a METRIC (scores must match
+        # the official f32 lpips package when calibrated weights are loaded),
+        # so the multi-pass f32 algorithm is required on accelerators.
         x = jax.lax.conv_general_dilated(
             x,
             weights[f"conv{conv_i}_w"],
             window_strides=(1, 1),
             padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
         ) + weights[f"conv{conv_i}_b"]
         x = jax.nn.relu(x)
         if conv_i in _TAP_AFTER_CONV:
