@@ -607,6 +607,242 @@ def composite_positions(t1, rvt, ybasis, live_u, live_v, norm, geom, statics,
     )(geom, cell_live, pos_needed, t1, rvt, ybasis, live_u, live_v, norm)
 
 
+# ------------------------------------------------- fused (v3) composite kernel
+
+
+def gnomonic_occupancy_lite(slices, geom, statics: GnomonicStatics, Pn: int,
+                            Qn: int, PB: int, Pb: int, QB: int, Qb: int):
+    """Exact-zero skip flags from the affine geom scalars (no Ru/RvT tensors).
+
+    Interval form of gnomonic_occupancy: a (u-block, q-block, position) is
+    live iff any density > 0 exists inside the rectangle of grid columns the
+    block's tent taps can touch — u in [min U - 1, max U + 1] over the block's
+    p-range (U = bu + ku*p), v likewise over the q-range. Closed-interval
+    bounds are a (boundary-tie) superset of the tent-support rule, so
+    skipping stays exactly lossless. Returns (cell_live, pos_needed,
+    pos_any): [PB, QB, NP], [PB, QB, NP], [PB, NP] int32."""
+    NP = slices.shape[0]
+    nu, nv = slices.shape[1], slices.shape[3]
+    sig = slices[:, :, 3 * statics.ncoeff, :]  # [NP, nu, nv] bf16 pre-relu
+    sig_pos = (sig > 0.0).astype(jnp.float32)
+    bu, ku = geom[:, 2], geom[:, 3]
+    bv, kv = geom[:, 4], geom[:, 5]
+
+    def interval_mask(b, k, n_blocks, blk, n_idx):
+        # [NP, n_blocks, n_idx] mask of indices within the blocks' tent reach
+        p0 = jnp.arange(n_blocks, dtype=jnp.float32) * blk
+        p1 = p0 + (blk - 1)
+        e0 = b[:, None] + k[:, None] * p0[None, :]
+        e1 = b[:, None] + k[:, None] * p1[None, :]
+        lo = jnp.minimum(e0, e1) - 1.0
+        hi = jnp.maximum(e0, e1) + 1.0
+        idx = jnp.arange(n_idx, dtype=jnp.float32)
+        return (
+            (idx[None, None, :] >= lo[..., None])
+            & (idx[None, None, :] <= hi[..., None])
+        ).astype(jnp.float32)
+
+    umask = interval_mask(bu, ku, PB, Pb, nu)  # [NP, PB, nu]
+    vmask = interval_mask(bv, kv, QB, Qb, nv)  # [NP, QB, nv]
+    uq = jnp.einsum("juv,jqv->juq", sig_pos, vmask,
+                    preferred_element_type=jnp.float32)
+    slab_live = (
+        jnp.einsum("jbu,juq->jbq", umask, uq,
+                   preferred_element_type=jnp.float32) > 0.0
+    ).astype(jnp.int32)  # [NP, PB, QB]
+    prev_l = jnp.concatenate(
+        [jnp.zeros((1, PB, QB), jnp.int32), slab_live[:-1]], 0
+    )
+    next_l = jnp.concatenate(
+        [slab_live[1:], jnp.zeros((1, PB, QB), jnp.int32)], 0
+    )
+    cell_live = jnp.transpose(prev_l | slab_live, (1, 2, 0))
+    pos_needed = jnp.transpose(prev_l | slab_live | next_l, (1, 2, 0))
+    pos_any = (jnp.sum(pos_needed, axis=1) > 0).astype(jnp.int32)  # [PB, NP]
+    return cell_live, pos_needed, pos_any
+
+
+def _make_composite_kernel_fused(NP, Pb, Qb, QB, nu, nv, C, ncoeff,
+                                 relu_sigma, with_diffuse, exit_eps):
+    """v3: the u-resample matmul moves INSIDE the composite kernel.
+
+    grid=(PB, NP, QB). At qb == 0 of a needed position, the kernel builds the
+    u-tent block [Pb, nu] from the affine geom scalars (U = bu + ku*p), runs
+    ONE [Pb, nu] @ [nu, C*nv] MXU pass against the raw position slice, and
+    scatters the result into t1m scratch [C*Pb, nv] (32 static lane->sublane
+    block moves). Each qb step then builds its v-tents [nv, Qb] in-kernel and
+    proceeds exactly like _make_composite_kernel_qb. Wins vs v2: the [NP, C,
+    Pn, nv] t1 tensor never exists in HBM (~1 GB/pose round trip at 128^3 /
+    400px), the u-resample work is occupancy-skipped per position, and the
+    Ru/RvT/live geometry tensors (~130 MB of XLA build+write+read per pose)
+    reduce to 4 scalars per position."""
+    SROWS, PROWS = _sprows(with_diffuse)
+    LROW = PROWS - 1
+
+    def kernel(geom_ref, cl_ref, pn_ref, pa_ref, sl_ref, yb_ref, norm_ref,
+               out_ref, prev_ref, state_ref, t1m_ref):
+        pb = pl.program_id(0)
+        j = pl.program_id(1)
+        qb = pl.program_id(2)
+
+        @pl.when(j == 0)
+        def _():
+            state_ref[qb] = jnp.zeros((SROWS, Pb, Qb), jnp.float32)
+            state_ref[qb, 0] = jnp.ones((Pb, Qb), jnp.float32)
+
+        s_j = geom_ref[j, 0]
+        bu = geom_ref[j, 2]
+        ku = geom_ref[j, 3]
+        bv = geom_ref[j, 4]
+        kv = geom_ref[j, 5]
+
+        # ---- u-resample this position's slice once (at the first q-block)
+        @pl.when((qb == 0) & (pa_ref[pb, j] > 0))
+        def _():
+            p_io = jax.lax.broadcasted_iota(jnp.int32, (Pb, nu), 0)
+            u_io = jax.lax.broadcasted_iota(jnp.int32, (Pb, nu), 1)
+            U = bu + ku * (p_io + pb * Pb).astype(jnp.float32)
+            w_u = jnp.maximum(0.0, 1.0 - jnp.abs(U - u_io.astype(jnp.float32)))
+            t1v = jnp.dot(
+                w_u.astype(jnp.bfloat16), sl_ref[0],
+                preferred_element_type=jnp.float32,
+            )  # [Pb, C*nv]
+            for c in range(C):
+                t1m_ref[c * Pb:(c + 1) * Pb, :] = (
+                    t1v[:, c * nv:(c + 1) * nv].astype(jnp.bfloat16)
+                )
+
+        work = pn_ref[pb, qb, j] > 0
+        if exit_eps > 0.0:
+            work = work & (jnp.max(state_ref[qb, 0]) > exit_eps)
+
+        @pl.when(work)
+        def _():
+            # v-tents + texel liveness for this q-block, from the affine
+            q_io = jax.lax.broadcasted_iota(jnp.int32, (nv, Qb), 1)
+            v_io = jax.lax.broadcasted_iota(jnp.int32, (nv, Qb), 0)
+            V = bv + kv * (q_io + qb * Qb).astype(jnp.float32)
+            w_v = jnp.maximum(0.0, 1.0 - jnp.abs(V - v_io.astype(jnp.float32)))
+            vals = jnp.dot(
+                t1m_ref[...], w_v.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )  # [C*Pb, Qb]
+            pq_p = jax.lax.broadcasted_iota(jnp.int32, (Pb, Qb), 0)
+            pq_q = jax.lax.broadcasted_iota(jnp.int32, (Pb, Qb), 1)
+            Up = bu + ku * (pq_p + pb * Pb).astype(jnp.float32)
+            Vq = bv + kv * (pq_q + qb * Qb).astype(jnp.float32)
+            livem = (
+                (Up >= -0.5) & (Up <= nu - 0.5) & (s_j > 0.0)
+                & (Vq >= -0.5) & (Vq <= nv - 0.5)
+            ).astype(jnp.float32)
+            sig = vals[3 * ncoeff * Pb:(3 * ncoeff + 1) * Pb, :]
+
+            def fold(colour, coeffs):
+                acc = yb_ref[qb, 0] * vals[
+                    (colour * ncoeff) * Pb:(colour * ncoeff + 1) * Pb
+                ]
+                for k in range(1, coeffs):
+                    ch = colour * ncoeff + k
+                    acc += yb_ref[qb, k] * vals[ch * Pb:(ch + 1) * Pb]
+                return acc
+
+            rgb = [fold(c, ncoeff) for c in range(3)]
+            if with_diffuse:
+                dif = [fold(c, 1) for c in range(3)]
+
+            @pl.when((j > 0) & (cl_ref[pb, qb, j] > 0))
+            def _():
+                sig_a = prev_ref[qb, 0]
+                integ, tbar, _, _ = _relu_trap(sig_a, sig, relu_sigma)
+                integ = integ * (prev_ref[qb, LROW] * livem)
+                cell_step = geom_ref[j, 1]
+                delta = cell_step * norm_ref[qb]
+                alpha = 1.0 - jnp.exp(-integ * delta)
+                T = state_ref[qb, 0]
+                w = alpha * T
+                s_b = geom_ref[j, 0]
+                s_mid = (s_b - cell_step + tbar * cell_step) * norm_ref[qb]
+                tb1 = 1.0 - tbar
+                for c in range(3):
+                    mraw = tb1 * prev_ref[qb, 1 + c] + tbar * rgb[c]
+                    state_ref[qb, 1 + c] += jax.nn.sigmoid(mraw) * w
+                state_ref[qb, 4] += w
+                state_ref[qb, 5] += w * s_mid
+                if with_diffuse:
+                    for c in range(3):
+                        mraw = tb1 * prev_ref[qb, 4 + c] + tbar * dif[c]
+                        state_ref[qb, 6 + c] += jax.nn.sigmoid(mraw) * w
+                state_ref[qb, 0] = T * (1.0 - alpha)
+
+            prev_ref[qb, 0] = sig
+            for c in range(3):
+                prev_ref[qb, 1 + c] = rgb[c]
+            if with_diffuse:
+                for c in range(3):
+                    prev_ref[qb, 4 + c] = dif[c]
+            prev_ref[qb, LROW] = livem
+
+        @pl.when(j == NP - 1)
+        def _():
+            out_ref[qb] = state_ref[qb]
+
+    return kernel, SROWS, PROWS
+
+
+def composite_positions_fused(slices, ybasis, norm, geom, statics, Pn, Qn,
+                              PB, Pb, occupancy):
+    """Run the FUSED (v3) composite kernel: raw position slices in, composited
+    state out — no t1 intermediate. slices [NP, nu, C, nv] bf16 (consumed as
+    the free [NP, nu, C*nv] view), occupancy = (cell_live [PB, QB, NP],
+    pos_needed [PB, QB, NP], pos_any [PB, NP]) from gnomonic_occupancy_lite.
+    Requires statics.qb > 0 (the q-split grid)."""
+    NP, nu = slices.shape[0], slices.shape[1]
+    nv = slices.shape[3]
+    C = _padded_channels(statics)
+    QB, Qb = _qb_blocks(statics, Qn)
+    cell_live, pos_needed, pos_any = occupancy
+    kernel, SROWS, PROWS = _make_composite_kernel_fused(
+        NP, Pb, Qb, QB, nu, nv, C, statics.ncoeff, statics.relu_sigma,
+        statics.with_diffuse, statics.exit_eps,
+    )
+    slices2d = slices.reshape(NP, nu, C * nv)
+    yb_q = jnp.transpose(
+        ybasis.reshape(statics.ncoeff, Pn, QB, Qb), (2, 0, 1, 3)
+    )
+    norm_q = jnp.transpose(norm.reshape(Pn, QB, Qb), (1, 0, 2))
+    out = pl.pallas_call(
+        kernel,
+        grid=(PB, NP, QB),
+        in_specs=[
+            pl.BlockSpec((NP, 8), lambda pb, t, qb: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((PB, QB, NP), lambda pb, t, qb: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((PB, QB, NP), lambda pb, t, qb: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((PB, NP), lambda pb, t, qb: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nu, C * nv), lambda pb, t, qb: (t, 0, 0)),
+            pl.BlockSpec((QB, statics.ncoeff, Pb, Qb),
+                         lambda pb, t, qb: (0, 0, pb, 0)),
+            pl.BlockSpec((QB, Pb, Qb), lambda pb, t, qb: (0, pb, 0)),
+        ],
+        out_specs=pl.BlockSpec((QB, SROWS, Pb, Qb),
+                               lambda pb, t, qb: (0, 0, pb, 0)),
+        out_shape=jax.ShapeDtypeStruct((QB, SROWS, Pn, Qb), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((QB, PROWS, Pb, Qb), jnp.float32),
+            pltpu.VMEM((QB, SROWS, Pb, Qb), jnp.float32),
+            pltpu.VMEM((C * Pb, nv), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=statics.interpret,
+    )(geom, cell_live, pos_needed, pos_any, slices2d, yb_q, norm_q)
+    return jnp.transpose(out, (1, 2, 0, 3)).reshape(SROWS, Pn, Qn)
+
+
 # ------------------------------------------------------------------ pipeline
 
 
@@ -655,7 +891,7 @@ class GnomonicGeometry(NamedTuple):
 def gnomonic_geometry(
     rotation, origin, statics: GnomonicStatics, height: int, width: int,
     focal, supersample: float, frame: Optional[Tuple[int, int]] = None,
-    phase: Optional[Tuple] = None,
+    phase: Optional[Tuple] = None, lite: bool = False,
 ) -> GnomonicGeometry:
     """All pose-dependent operands of the gnomonic march (in-jit, dynamic).
     ``frame`` overrides (Pn, Qn) — the training pipeline uses backward-sized
@@ -711,23 +947,35 @@ def gnomonic_geometry(
 
     a_u = (origin[u_ax] - aabb[u_ax][0]) * su - 0.5
     a_v = (origin[v_ax] - aabb[v_ax][0]) * sv - 0.5
-    U = a_u + (s_j[:, None] * su) * xs[None, :]  # [NP, Pn]
-    V = a_v + (s_j[:, None] * sv) * ys[None, :]  # [NP, Qn]
+    if lite:
+        # the fused composite kernel rebuilds tents/liveness in-kernel from
+        # the affine geom scalars; skip the [NP, Pn, nu] tensor builds
+        Ru = RvT = live_u = live_v = None
+    else:
+        U = a_u + (s_j[:, None] * su) * xs[None, :]  # [NP, Pn]
+        V = a_v + (s_j[:, None] * sv) * ys[None, :]  # [NP, Qn]
 
-    def tent(pos, n):
-        idx = jnp.arange(n, dtype=jnp.float32)
-        return jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - idx))
+        def tent(pos, n):
+            idx = jnp.arange(n, dtype=jnp.float32)
+            return jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - idx))
 
-    Ru = tent(U, nu).astype(jnp.bfloat16)  # [NP, Pn, nu]
-    RvT = jnp.swapaxes(tent(V, nv), 1, 2).astype(jnp.bfloat16)  # [NP, nv, Qn]
-    live_u = (
-        (U >= -0.5) & (U <= nu - 0.5) & (s_j[:, None] > 0.0)
-    ).astype(jnp.float32)[..., None]
-    live_v = ((V >= -0.5) & (V <= nv - 0.5)).astype(jnp.float32)[:, None, :]
+        Ru = tent(U, nu).astype(jnp.bfloat16)  # [NP, Pn, nu]
+        RvT = jnp.swapaxes(tent(V, nv), 1, 2).astype(jnp.bfloat16)
+        live_u = (
+            (U >= -0.5) & (U <= nu - 0.5) & (s_j[:, None] > 0.0)
+        ).astype(jnp.float32)[..., None]
+        live_v = ((V >= -0.5) & (V <= nv - 0.5)).astype(jnp.float32)[:, None, :]
 
     cell_step = jnp.full((NP,), cell_a / P, jnp.float32)
+    # affine texel->grid coefficients per position (U = bu + ku*p,
+    # V = bv + kv*q): the FUSED composite kernel rebuilds the tent weights
+    # from these four scalars instead of reading precomputed Ru/RvT tensors
+    bu = a_u + (s_j * su) * x0
+    ku = (s_j * su) * ((x1 - x0) / (Pn - 1))
+    bv = a_v + (s_j * sv) * y0
+    kv = (s_j * sv) * ((y1 - y0) / (Qn - 1))
     geom = jnp.stack(
-        [s_j, cell_step] + [jnp.zeros_like(s_j)] * 6, axis=-1
+        [s_j, cell_step, bu, ku, bv, kv] + [jnp.zeros_like(s_j)] * 2, axis=-1
     )  # [NP, 8]
     return GnomonicGeometry(
         Ru=Ru, RvT=RvT, ybasis=ybasis, live_u=live_u, live_v=live_v,
@@ -745,6 +993,13 @@ def resample_u(slices, Ru):
     )
 
 
+def _use_fused_composite(statics: GnomonicStatics, nv: int) -> bool:
+    """The fused (v3) kernel's t1v lane slices need nv to be a lane-tile
+    multiple; interpret mode has no such constraint. Production grids
+    (128^3+) qualify; small coarse stages fall back to the v2 path."""
+    return statics.qb > 0 and (nv % 128 == 0 or statics.interpret)
+
+
 @partial(jax.jit, static_argnames=("statics", "height", "width", "supersample"))
 def _march_gnomonic(
     slices,  # [NP, nu, C, nv] bf16 (repacked position slices)
@@ -759,11 +1014,25 @@ def _march_gnomonic(
     """Resample + composite in gnomonic space. Returns (state [SROWS, Pn, Qn],
     x-range, y-range) — everything needed by the warp."""
     Pn, Qn, PB, Pb = gnomonic_frame(None, height, width, focal, supersample, statics)
+    QB, Qb = _qb_blocks(statics, Qn)
+    nv = slices.shape[3]
+    if _use_fused_composite(statics, nv):
+        geo = gnomonic_geometry(
+            rotation, origin, statics, height, width, focal, supersample,
+            lite=True,
+        )
+        occupancy = gnomonic_occupancy_lite(
+            slices, geo.geom, statics, Pn, Qn, PB, Pb, QB, Qb
+        )
+        state = composite_positions_fused(
+            slices, geo.ybasis, geo.norm, geo.geom, statics, Pn, Qn, PB, Pb,
+            occupancy,
+        )
+        return state, geo.xr, geo.yr
     geo = gnomonic_geometry(
         rotation, origin, statics, height, width, focal, supersample
     )
     t1 = resample_u(slices, geo.Ru)
-    QB, _Qb = _qb_blocks(statics, Qn)
     occupancy = gnomonic_occupancy(
         slices, geo.Ru, statics, PB, Pb,
         RvT=geo.RvT if QB > 1 else None, QB=QB,
