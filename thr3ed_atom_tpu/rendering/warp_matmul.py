@@ -83,23 +83,45 @@ def _make_resample_kernel(CH: int, K: int, N: int, order: int, adjoint: bool,
             kio = jax.lax.broadcasted_iota(jnp.int32, (K, N), 0)
             kf = kio.astype(jnp.float32)
             w = _kernel_weights(kf - posr, order)
-            if taps:
-                p0 = jnp.floor(posr)
-                oh0 = (kf == p0).astype(jnp.float32)
-                oh1 = (kf == p0 + 1.0).astype(jnp.float32)
-                w = jnp.concatenate([w, oh0, oh1], axis=1)  # [K, 3N]
-            # Precision.HIGHEST: these are f32 value x f32 weight matmuls.
-            # The MXU's default single-pass mode quantizes BOTH operands to
-            # bf16, turning the interpolation weights into ~3-digit numbers —
+            # Precision.HIGH: these are f32 value x f32 weight matmuls. The
+            # MXU's default single-pass mode quantizes BOTH operands to bf16,
+            # turning the interpolation weights into ~3-digit numbers —
             # measured as an ss-INDEPENDENT ~55 dB quality ceiling on the
             # whole render (experiments/probe_quadrature_fairness.py) while
-            # the f32 gather warp reached 79 dB. The multi-pass f32 algorithm
-            # restores exactness; the warp is a tiny share of pose time.
+            # the f32 gather warp reached 79 dB. HIGHEST (the multi-pass f32
+            # algorithm; Mosaic rejects HIGH) restores the interpolant; the
+            # clamp-taps dot below stays single-pass, cutting the widened
+            # matmul's pass count 18N -> 8N vs HIGHEST-on-everything.
             if adjoint:
+                if taps:
+                    p0 = jnp.floor(posr)
+                    w = jnp.concatenate(
+                        [w, (kf == p0).astype(jnp.float32),
+                         (kf == p0 + 1.0).astype(jnp.float32)],
+                        axis=1,
+                    )  # [K, 3N] — the cotangent spans interpolant + taps
                 o_ref[i] = jax.lax.dot_general(
                     x_ref[i], w, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
+                )
+            elif taps:
+                o_ref[i, :, :N] = jnp.dot(
+                    x_ref[i], w, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                # the two CENTRAL-tap extractions feed only the ringing
+                # clamp's bounds; one-hot weights are exact in bf16 and a
+                # ~0.4% bound tolerance is harmless, so the taps dot runs
+                # at default (single-pass) precision
+                p0 = jnp.floor(posr)
+                oh = jnp.concatenate(
+                    [(kf == p0).astype(jnp.float32),
+                     (kf == p0 + 1.0).astype(jnp.float32)],
+                    axis=1,
+                )  # [K, 2N]
+                o_ref[i, :, N:] = jnp.dot(
+                    x_ref[i], oh, preferred_element_type=jnp.float32,
                 )
             else:
                 o_ref[i] = jnp.dot(
