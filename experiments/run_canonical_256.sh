@@ -2,10 +2,10 @@
 # VERDICT round-2 item #4: the canonical 256^3 recipe end-to-end on the chip.
 # Reference recipe of record: 4 stages to 256^3 at 400x400
 # (/root/reference/thre3d_elements/relu_fields/train_sh_based_voxel_grid_with_posed_images.py:55,92-94
-#  -- grid_dims 256, num_stages 4, num_iterations_per_stage 2000).
-# ITERS can be shortened for a step-time/HBM validation pass (the full 4x2000
-# run takes hours); report per-stage steady-state step time, heldout PSNR and
-# wall clock in README.
+#  -- grid_dims 256, num_stages 4, num_iterations_per_stage 7000).
+# ITERS defaults shorter for a step-time/HBM validation pass; pass ITERS=7000
+# for the full reference-default run. Report per-stage steady-state step time,
+# heldout PSNR and wall clock in README.
 set -e
 cd "$(dirname "$0")/.."
 DS=${DS:-/tmp/canonical_ds400}
