@@ -437,6 +437,16 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
     }
 
     for stage in range(start_stage, num_stages + 1):
+        if stage > start_stage:
+            # drop the previous stage's compiled executables (their HBM code +
+            # embedded-constant allocations accumulate across stages — at the
+            # 256^3 stage the live step programs need every GiB of headroom;
+            # the canonical 4x7000 run OOM'd at stage 4 without this). The
+            # persistent compilation cache makes any re-entry cheap.
+            import gc
+
+            jax.clear_caches()
+            gc.collect()
         stage_dataset = stagewise_train_datasets[stage - 1]
         stage_intrinsics = stage_dataset.camera_intrinsics
         images = jnp.asarray(stage_dataset.images)

@@ -145,7 +145,8 @@ def _num_positions(statics: GnomonicStatics) -> int:
 # ------------------------------------------------------------------ grid repack
 
 
-def repack_position_slices(voxel_grid: VoxelGrid, statics: GnomonicStatics):
+def repack_position_slices(voxel_grid: VoxelGrid, statics: GnomonicStatics,
+                           round_output: bool = True):
     """Differentiable repack into front-to-back position slices
     [NPos, nu, C, nv] bf16 (pre-activated; C = 3*ncoeff + 1 padded to a lane
     multiple). Interior positions (pos_per_cell > 1) are lerps of the two
@@ -154,10 +155,17 @@ def repack_position_slices(voxel_grid: VoxelGrid, statics: GnomonicStatics):
     materializing bf16 halves the repack HBM traffic (and the adjoint's) with
     bit-identical t1. Occupancy is computed from these same bf16 values, so
     the exact-zero skip rule stays exactly lossless wrt the pipeline's own
-    arithmetic."""
+    arithmetic.
+
+    ``round_output=False`` skips the final bf16 rounding: the multi-pose
+    train step hoists ONE repack out of its pose scan and must accumulate the
+    k poses' slice cotangents in f32 — keeping the repack's own VJP boundary
+    f32 means the hoisted step adds no rounding at all (the consumer casts
+    the f32 values to bf16 itself, which is bit-identical to rounding here)."""
     axis = statics.axis
     u_ax, v_ax = _uv_axes(axis)
     P = statics.pos_per_cell
+    out_dtype = jnp.bfloat16 if round_output else jnp.float32
     pre_densities, pre_features = voxel_grid.activated_grids()
     unified = jnp.concatenate([pre_features, pre_densities], axis=-1)
     C = _padded_channels(statics)
@@ -167,12 +175,12 @@ def repack_position_slices(voxel_grid: VoxelGrid, statics: GnomonicStatics):
     if statics.flip:
         slices = jnp.flip(slices, axis=0)
     if P == 1:
-        return slices.astype(jnp.bfloat16)
+        return slices.astype(out_dtype)
     mid_fracs = [k / P for k in range(1, P)]
     lo, hi = slices[:-1], slices[1:]
     subs = [lo] + [(1.0 - f) * lo + f * hi for f in mid_fracs]
     inter = jnp.stack(subs, axis=1).reshape((-1,) + slices.shape[1:])
-    return jnp.concatenate([inter, slices[-1:]], axis=0).astype(jnp.bfloat16)
+    return jnp.concatenate([inter, slices[-1:]], axis=0).astype(out_dtype)
 
 
 def _padded_channels(statics: GnomonicStatics) -> int:

@@ -722,13 +722,12 @@ def make_gnomonic_train_statics(
     )
 
 
-def render_pose_diff(voxel_grid: VoxelGrid, rotation, origin, focal,
-                     tstat: GnomonicTrainStatics, key=None):
-    """Differentiable whole-pose render through the gnomonic pipeline.
-    Returns the warped RenderOut (colour [H, W, 3] + extra). ``key`` enables
-    per-step sub-texel phase jitter of the resample frame (unbiased — the
-    warp compensates exactly; the gnomonic analogue of the reference's
-    perturb_sampled_points)."""
+def render_pose_from_slices(slices, rotation, origin, focal,
+                            tstat: GnomonicTrainStatics, key=None):
+    """Differentiable whole-pose render from already-repacked position slices
+    (bf16 or f32 — f32 inputs are cast to bf16 here, bit-identical to the
+    repack rounding its own output). The multi-pose train step hoists one
+    repack out of its pose scan and calls this per pose."""
     statics = tstat.statics
     Pn, Qn, PB, Pb = tstat.frame
     phase = None
@@ -742,7 +741,7 @@ def render_pose_diff(voxel_grid: VoxelGrid, rotation, origin, focal,
     )
     from thr3ed_atom_tpu.rendering.gnomonic import _qb_blocks
 
-    slices = repack_position_slices(voxel_grid, statics)
+    slices = slices.astype(jnp.bfloat16)
     t1 = resample_u(slices, geo.Ru)
     QB, _Qb = _qb_blocks(statics, Qn)
     cell_live, pos_needed = jax.lax.stop_gradient(
@@ -761,11 +760,25 @@ def render_pose_diff(voxel_grid: VoxelGrid, rotation, origin, focal,
     )
 
 
-def _pose_loss(tstat: GnomonicTrainStatics, g: VoxelGrid, image, rotation,
-               origin, focal, key=None):
-    """Whole-pose objective (same as the reference trainer: specular L1 +
-    optional diffuse L1 regularization, trainers.py:311-330)."""
-    out = render_pose_diff(g, rotation, origin, focal, tstat, key=key)
+def render_pose_diff(voxel_grid: VoxelGrid, rotation, origin, focal,
+                     tstat: GnomonicTrainStatics, key=None):
+    """Differentiable whole-pose render through the gnomonic pipeline.
+    Returns the warped RenderOut (colour [H, W, 3] + extra). ``key`` enables
+    per-step sub-texel phase jitter of the resample frame (unbiased — the
+    warp compensates exactly; the gnomonic analogue of the reference's
+    perturb_sampled_points)."""
+    slices = repack_position_slices(voxel_grid, tstat.statics)
+    return render_pose_from_slices(slices, rotation, origin, focal, tstat,
+                                   key=key)
+
+
+def _pose_loss_from_slices(tstat: GnomonicTrainStatics, slices, image,
+                           rotation, origin, focal, key=None):
+    """Whole-pose objective on pre-repacked slices (same as the reference
+    trainer: specular L1 + optional diffuse L1 regularization,
+    trainers.py:311-330)."""
+    out = render_pose_from_slices(slices, rotation, origin, focal, tstat,
+                                  key=key)
     colour = out.colour
     specular_loss = jnp.mean(jnp.abs(colour - image))
     specular_mse = jnp.mean((colour - image) ** 2)
@@ -785,6 +798,14 @@ def _pose_loss(tstat: GnomonicTrainStatics, g: VoxelGrid, image, rotation,
         }
     aux["total_loss"] = total
     return total, aux
+
+
+def _pose_loss(tstat: GnomonicTrainStatics, g: VoxelGrid, image, rotation,
+               origin, focal, key=None):
+    """Whole-pose objective on the grid (repack + _pose_loss_from_slices)."""
+    slices = repack_position_slices(g, tstat.statics)
+    return _pose_loss_from_slices(tstat, slices, image, rotation, origin,
+                                  focal, key)
 
 
 @partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3))
@@ -826,29 +847,45 @@ def gnomonic_train_step_multi(
     from the image size: at small training resolutions a single pose is far
     fewer rays than the ray-batch trainers' 32K default, which starves the
     whole-pose trainer in equal-iteration comparisons (reference
-    trainers.py:271-341 samples rays across all views every step)."""
+    trainers.py:271-341 samples rays across all views every step).
+
+    The repack is HOISTED out of the pose scan: all k poses share one march
+    variant, so the slices depend only on the grid — one repack forward and
+    ONE repack VJP on the f32-accumulated slice cotangent replace k of each
+    (repack fwd+VJP is the largest single step cost at production scale).
+    Exactly equal to the per-pose form by linearity of the repack VJP in its
+    cotangent (the repack stays un-rounded f32 at the VJP boundary; the
+    per-pose bf16 cast happens inside render_pose_from_slices, bit-identical
+    to the rounded repack)."""
     k = images.shape[0]
-    grad_fn = jax.value_and_grad(partial(_pose_loss, tstat), has_aux=True)
+    slices_f32, repack_vjp = jax.vjp(
+        lambda g: repack_position_slices(g, tstat.statics,
+                                         round_output=False),
+        grid,
+    )
+    grad_fn = jax.value_and_grad(
+        partial(_pose_loss_from_slices, tstat), has_aux=True
+    )
     keys = None if key is None else jax.random.split(key, k)
 
     def body(acc, xs):
         img, rot, org, kk = xs
-        (_loss, aux), g = grad_fn(grid, img, rot, org, focal, kk)
-        return jax.tree_util.tree_map(jnp.add, acc, (g, aux)), None
+        (_loss, aux), dsl = grad_fn(slices_f32, img, rot, org, focal, kk)
+        return jax.tree_util.tree_map(jnp.add, acc, (dsl, aux)), None
 
     # zeros-initialized carry (shapes via eval_shape — no tracing cost) so the
     # compiled program contains ONE copy of the whole-pose fwd+bwd pipeline
-    (_ls, aux_s), g_s = jax.eval_shape(
-        grad_fn, grid, images[0], rotations[0], origins[0], focal,
+    (_ls, aux_s), dsl_s = jax.eval_shape(
+        grad_fn, slices_f32, images[0], rotations[0], origins[0], focal,
         None if keys is None else keys[0],
     )
     zero = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), (g_s, aux_s)
+        lambda s: jnp.zeros(s.shape, s.dtype), (dsl_s, aux_s)
     )
-    (gsum, auxsum), _ = jax.lax.scan(
+    (dslsum, auxsum), _ = jax.lax.scan(
         body, zero, (images, rotations, origins, keys)
     )
-    grads = jax.tree_util.tree_map(lambda x: x / k, gsum)
+    (grads,) = repack_vjp(dslsum / k)
     metrics = {k_: v / k for k_, v in auxsum.items()}
     updates, opt_state = tx.update(grads, opt_state, grid)
     grid = optax.apply_updates(grid, updates)
