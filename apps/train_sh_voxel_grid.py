@@ -135,6 +135,9 @@ def resolve_render_procedure(
 @click.option("--gnomonic_qb", type=click.INT, default=128, show_default=True,
               help="gnomonic q-block width (multiple of 128; 0 = whole-height stripes): "
                    "finer-grain occupancy skipping and early exit in the composite kernel")
+@click.option("--gnomonic_poses_per_step", type=click.INT, default=0, show_default=True,
+              help="training views averaged per gnomonic whole-pose step "
+                   "(0 = auto from ray_batch_size, floored for view diversity)")
 @click.option("--fast_topk", type=click.INT, default=64, show_default=True,
               help="samples per ray shaded in the fast procedure's feature phase")
 @click.option("--fast_bf16_features", type=click.BOOL, default=False, show_default=True,
@@ -295,6 +298,7 @@ def main(**config) -> None:
             verbose_rendering=config["verbose_rendering"],
             fast_debug_mode=config["fast_debug_mode"],
             resume_from=config["resume_from"],
+            gnomonic_poses_per_step=config["gnomonic_poses_per_step"],
         )
 
 

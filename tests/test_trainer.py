@@ -289,14 +289,16 @@ def test_gnomonic_procedure_trains_through_procedure(tmp_path, synthetic_data, m
         render_procedure="render_sh_voxel_grid_gnomonic",
     )
 
+    # the view-diversity floor (trainer._GN_MIN_POSES_PER_STEP) routes the
+    # whole-pose loop through the k-pose accumulation step
     step_calls = []
-    real_step = gtr.gnomonic_train_step
+    real_step = gtr.gnomonic_train_step_multi
 
-    def counting_step(tstat, tx, *args, **kwargs):
-        step_calls.append(tstat)
-        return real_step(tstat, tx, *args, **kwargs)
+    def counting_step(tstat, tx, grid_, opt_state_, imgs, *args, **kwargs):
+        step_calls.append((tstat, imgs.shape[0]))
+        return real_step(tstat, tx, grid_, opt_state_, imgs, *args, **kwargs)
 
-    monkeypatch.setattr(gtr, "gnomonic_train_step", counting_step)
+    monkeypatch.setattr(gtr, "gnomonic_train_step_multi", counting_step)
 
     train_sh_vox_grid_vol_mod_with_posed_images(
         vol_mod=vol_mod,
@@ -315,7 +317,9 @@ def test_gnomonic_procedure_trains_through_procedure(tmp_path, synthetic_data, m
     )
 
     assert len(step_calls) == 3, "gnomonic procedure did not drive the train loop"
-    assert step_calls[0].height == IMAGE_SIZE
+    assert step_calls[0][0].height == IMAGE_SIZE
+    # each step averaged at least the floored number of views
+    assert step_calls[0][1] >= 4
     assert np.isfinite(np.asarray(vol_mod.thre3d_repr.densities)).all()
     final = tmp_path / "output" / "saved_models" / "model_final"
     assert final.with_suffix(".npz").exists()
@@ -501,6 +505,19 @@ def test_resume_from_checkpoint(tmp_path, synthetic_data):
     )
     assert trained.thre3d_repr.grid_dims == (GRID, GRID, GRID)
     assert (out_dir2 / "saved_models" / "model_final.npz").exists()
+
+
+def test_opt_state_path_accepts_both_spellings():
+    """--resume_from is usually the model's .npz path while checkpoints are
+    written from a suffix-less stem; both must resolve to the same _opt.npz
+    (a mismatch silently resumed with a fresh Adam)."""
+    from pathlib import Path
+
+    from thr3ed_atom_tpu.modules.trainer import _opt_state_path
+
+    stem = Path("/x/model_stage_2_iter_14000")
+    assert _opt_state_path(stem) == Path("/x/model_stage_2_iter_14000_opt.npz")
+    assert _opt_state_path(stem.with_suffix(".npz")) == _opt_state_path(stem)
 
 
 def test_optimizer_state_checkpoint_roundtrip(tmp_path, synthetic_data):

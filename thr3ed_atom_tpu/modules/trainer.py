@@ -48,6 +48,14 @@ from thr3ed_atom_tpu.utils.logging import log
 from thr3ed_atom_tpu.utils.metrics import mse2psnr
 from thr3ed_atom_tpu.utils.misc import compute_thre3d_grid_sizes
 
+# minimum training views averaged per gnomonic whole-pose step (auto mode).
+# Chip A/B on the canonical 256^3 recipe: k=1 single-view steps at lr=0.03
+# thrash the grid (stage-3 heldout 44.9 -> 31.1 dB); k=4 holds 42.4 dB at
+# the same recipe. Whole-pose gradients are view-correlated, so per-step
+# view diversity — not ray count — is what matters. (The mesh path gets its
+# diversity from one-pose-per-device sharding instead.)
+_GN_MIN_POSES_PER_STEP = 4
+
 
 # ---------------------------------------------------------------------------- train step
 
@@ -203,7 +211,12 @@ def _train_step(
 
 
 def _opt_state_path(model_path: Path) -> Path:
-    return Path(str(model_path) + "_opt.npz")
+    # checkpoints are written from a suffix-less stem, but --resume_from is
+    # usually given the model's ".npz" path — accept both spellings
+    base = str(model_path)
+    if base.endswith(".npz"):
+        base = base[: -len(".npz")]
+    return Path(base + "_opt.npz")
 
 
 def save_optimizer_state(model_path: Path, opt_state, stage: int,
@@ -295,6 +308,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
     fast_debug_mode: bool = False,
     seed: int = 42,
     resume_from: Optional[Path] = None,
+    gnomonic_poses_per_step: int = 0,
 ) -> VolumetricModel:
     """Coarse-to-fine training loop (reference trainers.py:49-491 anatomy preserved):
     per stage — fresh Adam at stagewise-decayed LR, exponential in-stage decay, jitted
@@ -380,6 +394,11 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
             # the checkpointed grid already has stage `matches[0] + 1`'s size, so
             # no rescale is needed before re-entering that stage
             start_stage = matches[0] + 1
+            log.warning(
+                f"no optimizer state found at {_opt_state_path(resume_from)}; "
+                f"re-entering stage {start_stage} from iteration 1 with a "
+                "fresh optimizer"
+            )
         log.info(
             f"resuming from {resume_from} at stage {start_stage} "
             f"iteration {start_iteration}"
@@ -565,9 +584,19 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
             # HBM footprint) so equal-iteration comparisons against the
             # ray-batch trainers see equal data
             _pose_rays = stage_intrinsics.height * stage_intrinsics.width
-            gn_poses_per_step = (
-                1 if use_mesh else max(1, round(ray_batch_size / _pose_rays))
-            )
+            if use_mesh:
+                gn_poses_per_step = 1
+            elif gnomonic_poses_per_step > 0:
+                gn_poses_per_step = gnomonic_poses_per_step
+            else:
+                # ray-budget matching alone would let high-res stages
+                # degenerate to single-view steps; whole-pose gradients are
+                # view-correlated, and k=1 steps at the canonical lr=0.03
+                # measurably thrash the grid (canonical-run stage 3:
+                # heldout 44.9 -> 31.1 dB). Floor per-step view diversity.
+                gn_poses_per_step = max(
+                    _GN_MIN_POSES_PER_STEP, round(ray_batch_size / _pose_rays)
+                )
             # the gnomonic analogue of the reference's stratified-jitter flag:
             # per-step sub-texel phase shift of the resample frame (unbiased)
             gn_jitter = bool(vol_mod.render_config.perturb_sampled_points)

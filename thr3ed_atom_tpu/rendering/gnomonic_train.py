@@ -58,6 +58,11 @@ from thr3ed_atom_tpu.rendering.gnomonic import (
 from thr3ed_atom_tpu.utils.constants import EXTRA_DIFFUSE_COLOUR
 from thr3ed_atom_tpu.utils.metrics import mse2psnr
 
+# above this repacked-slice size, gnomonic_train_step_multi scans over bf16
+# slices to fit HBM at 256^3 alongside the grid + Adam moments (see its
+# docstring); below it, the step is bit-identical to the per-pose form
+_BF16_SLICES_BYTES = 512 * 1024 * 1024
+
 
 # --------------------------------------------------------------- train blocking
 
@@ -856,13 +861,23 @@ def gnomonic_train_step_multi(
     Exactly equal to the per-pose form by linearity of the repack VJP in its
     cotangent (the repack stays un-rounded f32 at the VJP boundary; the
     per-pose bf16 cast happens inside render_pose_from_slices, bit-identical
-    to the rounded repack)."""
+    to the rounded repack).
+
+    Memory: at large grids the f32 slices (2 GiB at 256^3) + the f32 grad
+    carry + a per-pose f32 cotangent tip the step over HBM alongside the
+    grid + Adam moments. Above _BF16_SLICES_BYTES the scan therefore runs on
+    bf16 slices — forward bit-identical (the renderer casts to bf16 anyway);
+    the per-pose slice cotangent then arrives bf16 (one extra rounding on a
+    signal the composite kernel's backward already flushes to bf16) while the
+    k-pose SUM still accumulates in f32 and reaches the repack VJP un-rounded."""
     k = images.shape[0]
     slices_f32, repack_vjp = jax.vjp(
         lambda g: repack_position_slices(g, tstat.statics,
                                          round_output=False),
         grid,
     )
+    big = slices_f32.size * slices_f32.dtype.itemsize > _BF16_SLICES_BYTES
+    slices_in = slices_f32.astype(jnp.bfloat16) if big else slices_f32
     grad_fn = jax.value_and_grad(
         partial(_pose_loss_from_slices, tstat), has_aux=True
     )
@@ -870,17 +885,23 @@ def gnomonic_train_step_multi(
 
     def body(acc, xs):
         img, rot, org, kk = xs
-        (_loss, aux), dsl = grad_fn(slices_f32, img, rot, org, focal, kk)
-        return jax.tree_util.tree_map(jnp.add, acc, (dsl, aux)), None
+        (_loss, aux), dsl = grad_fn(slices_in, img, rot, org, focal, kk)
+        # promote-on-add keeps the carry f32 even when dsl is bf16
+        return jax.tree_util.tree_map(
+            lambda a, d: a + d.astype(a.dtype), acc, (dsl, aux)
+        ), None
 
     # zeros-initialized carry (shapes via eval_shape — no tracing cost) so the
     # compiled program contains ONE copy of the whole-pose fwd+bwd pipeline
     (_ls, aux_s), dsl_s = jax.eval_shape(
-        grad_fn, slices_f32, images[0], rotations[0], origins[0], focal,
+        grad_fn, slices_in, images[0], rotations[0], origins[0], focal,
         None if keys is None else keys[0],
     )
     zero = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), (dsl_s, aux_s)
+        lambda s: jnp.zeros(
+            s.shape, jnp.float32 if s.dtype == jnp.bfloat16 else s.dtype
+        ),
+        (dsl_s, aux_s),
     )
     (dslsum, auxsum), _ = jax.lax.scan(
         body, zero, (images, rotations, origins, keys)
