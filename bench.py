@@ -71,20 +71,33 @@ def main() -> None:
             render_config=config,
         )
 
-    # quality default plus the q-split variant — image-identical at exit_eps=0
-    # and bounded-at-eps otherwise (tests/test_gnomonic.py); the faster of the
-    # two carries the headline. The q-split falls back cleanly if the kernel
-    # fails to lower on this backend.
-    vol_mod = make_vm(0)
-    qb_label = "qb=0"
+    # The remote AOT compile service has highly variable latency (measured
+    # 15 s .. 8+ min for the SAME program on the same chip), so the harness
+    # (a) compiles ONLY the programs it actually times — the first full pass
+    # over the real pose set warms all ~7 (march-variant x chunk) programs,
+    # (b) prints progress before each phase so a timed-out run still shows
+    # where it got, and (c) runs the expected-winner arm (qb=128, BENCH_r03)
+    # first and skips the secondary arm / latency probe when the wall budget
+    # (BENCH_TIME_BUDGET, default 480 s) is spent. The persistent compile
+    # cache (/root/.cache/jax_comp_cache) makes repeat runs all-hit.
+    import os
+
+    t0 = time.perf_counter()
+    budget = float(os.environ.get("BENCH_TIME_BUDGET", "480"))
+
+    def left():
+        return budget - (time.perf_counter() - t0)
+
+    qb_label = "qb=128"
     try:
-        vm_qb = make_vm(128)
-        probe = vm_qb.render(pose_spherical(45.0, -40.0, 4.0), intrinsics)
+        vol_mod = make_vm(128)
+        probe = vol_mod.render(pose_spherical(45.0, -40.0, 4.0), intrinsics)
         np.asarray(probe.colour)
     except Exception as exc:
         print(f"# gnomonic_qb=128 unavailable on this backend: "
-              f"{type(exc).__name__}", flush=True)
-        vm_qb = None
+              f"{type(exc).__name__}; using qb=0", flush=True)
+        vol_mod = make_vm(0)
+        qb_label = "qb=0"
 
     rng = np.random.default_rng(42)
     poses = [
@@ -95,31 +108,31 @@ def main() -> None:
     def sync(out):
         return float(jnp.sum(out.colour))
 
-    def measure(vm):
+    def measure(vm, tag):
         # BATCHED whole-pose rendering (render_poses: poses grouped by march
         # variant, one lax.map dispatch per group) — the production path for
         # offline/animation rendering. Per-pose dispatch through the axon
         # tunnel has a measured ~4.3 ms/pose HOST floor
         # (experiments/probe_dispatch_share.py), so the batched path is also
         # the only honest measure of the CHIP's render throughput.
-        #
-        # 1) compile/warm every march-axis variant (and build the repack
-        # cache), then FULL passes: the runtime serves a deoptimized
-        # executable until the per-variant async AOT compile lands, and a
-        # partially-warmed process times the deoptimized programs (measured
-        # 142 ms/pose vs 37 ms warm)
-        sync(vm.render_poses(poses[:12], intrinsics))
-
-        # 2) repeat full passes until the BEST pass stops improving (two
-        # consecutive non-improving passes): two equally-slow deoptimized
-        # passes must not read as "stable" — the async AOT compile can take
-        # minutes to land
         def one_pass():
             start = time.perf_counter()
             sync(vm.render_poses(poses, intrinsics))
             return time.perf_counter() - start
 
+        # 1) compile/warm: the first FULL pass compiles every (march-variant
+        # x chunk-size) program the timed passes will use — warming on a
+        # different pose subset would compile different lax.map shapes.
+        print(f"# [{time.perf_counter() - t0:.0f}s] {tag}: compile+warm pass",
+              flush=True)
         best = one_pass()
+
+        # 2) repeat passes until the BEST stops improving (two consecutive
+        # non-improving passes): the runtime can serve a deoptimized
+        # executable until the async AOT compile lands, and two equally-slow
+        # deoptimized passes must not read as "stable"
+        print(f"# [{time.perf_counter() - t0:.0f}s] {tag}: first pass "
+              f"{best:.3f}s; stabilizing", flush=True)
         miss = 0
         for _ in range(12):
             t = one_pass()
@@ -131,33 +144,49 @@ def main() -> None:
                     break
 
         # 3) timed: best of 3 passes (steady-state)
-        return min(one_pass() for _ in range(3))
+        out = min(one_pass() for _ in range(3))
+        print(f"# [{time.perf_counter() - t0:.0f}s] {tag}: steady-state "
+              f"{out:.3f}s per {NUM_POSES}-pose batched pass", flush=True)
+        return out
 
-    elapsed = measure(vol_mod)
-    if vm_qb is not None:
-        elapsed_qb = measure(vm_qb)
-        print(f"# qb=0: {elapsed:.3f}s  qb=128: {elapsed_qb:.3f}s per "
-              f"{NUM_POSES}-pose batched pass", flush=True)
-        if elapsed_qb < elapsed:
-            elapsed, qb_label = elapsed_qb, "qb=128"
+    elapsed = measure(vol_mod, qb_label)
 
-    # secondary: per-pose dispatch latency at the winning qb (the reference
-    # harness's sequential protocol; includes the ~4.3 ms/pose tunnel floor)
-    vm_lat = vm_qb if (vm_qb is not None and qb_label == "qb=128") else vol_mod
-    for pose in poses[:4]:
-        sync(vm_lat.render(pose, intrinsics))
+    # secondary arm: qb=0 (image-identical at exit_eps=0, tests/test_gnomonic)
+    # — only when the winner arm left enough wall budget for its compiles
+    if qb_label == "qb=128" and left() > 240:
+        try:
+            vm0 = make_vm(0)
+            elapsed0 = measure(vm0, "qb=0")
+            if elapsed0 < elapsed:
+                elapsed, qb_label = elapsed0, "qb=0"
+        except Exception as exc:
+            print(f"# qb=0 arm failed: {type(exc).__name__}", flush=True)
+    else:
+        print(f"# [{time.perf_counter() - t0:.0f}s] skipping qb=0 arm "
+              f"(budget)", flush=True)
 
-    def latency_pass():
-        start = time.perf_counter()
-        last = None
-        for pose in poses:
-            last = vm_lat.render(pose, intrinsics)
-        sync(last)
-        return time.perf_counter() - start
+    # per-pose dispatch latency (the reference harness's sequential protocol;
+    # includes the ~4.3 ms/pose tunnel floor) — compiles per-variant
+    # single-pose programs, so it runs only inside the wall budget
+    if left() > 180:
+        for pose in poses[:4]:
+            sync(vol_mod.render(pose, intrinsics))
 
-    lat = min(latency_pass() for _ in range(3))
-    print(f"# per-pose sequential: {lat:.3f}s per {NUM_POSES}-pose pass "
-          f"({lat * 1e3 / NUM_POSES:.2f} ms/pose incl. dispatch)", flush=True)
+        def latency_pass():
+            start = time.perf_counter()
+            last = None
+            for pose in poses:
+                last = vol_mod.render(pose, intrinsics)
+            sync(last)
+            return time.perf_counter() - start
+
+        lat = min(latency_pass() for _ in range(3))
+        print(f"# per-pose sequential: {lat:.3f}s per {NUM_POSES}-pose pass "
+              f"({lat * 1e3 / NUM_POSES:.2f} ms/pose incl. dispatch)",
+              flush=True)
+    else:
+        print(f"# [{time.perf_counter() - t0:.0f}s] skipping latency probe "
+              f"(budget)", flush=True)
 
     total_rays = NUM_POSES * IMAGE_SIZE * IMAGE_SIZE
     rays_per_sec = total_rays / elapsed
