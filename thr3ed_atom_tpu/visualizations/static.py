@@ -11,7 +11,10 @@ import numpy as np
 from thr3ed_atom_tpu.data.dataset import PosedImagesDataset
 from thr3ed_atom_tpu.modules.volumetric_model import VolumetricModel
 from thr3ed_atom_tpu.rendering.interface import RenderOut
-from thr3ed_atom_tpu.rendering.rays import cast_rays, flatten_rays, ndcize_rays
+import jax.numpy as jnp
+
+from thr3ed_atom_tpu.rendering.interface import Rays
+from thr3ed_atom_tpu.rendering.rays import ndcize_rays
 from thr3ed_atom_tpu.utils.camera import (
     CameraIntrinsics,
     CameraPose,
@@ -40,18 +43,37 @@ def visualize_camera_rays(
     ax = fig.add_subplot(111, projection="3d")
     all_camera_locations = []
 
+    height, width, focal = dataset.camera_intrinsics
     for camera_param in dataset.camera_parameters.values():
         pose = dataset.extract_pose(camera_param)
-        rays = flatten_rays(cast_rays(dataset.camera_intrinsics, pose))
-        if do_ndcize_rays:
-            rays = ndcize_rays(rays, dataset.camera_intrinsics)
-
-        combined = np.concatenate(
-            [np.asarray(rays.origins), np.asarray(rays.directions)], axis=-1
+        # sample the pixels FIRST, then compute only those rays host-side in
+        # numpy (same pinhole math as rendering/rays.py:cast_rays). Casting
+        # the full [H, W] bundle on-device and pulling it back costs ~4 MB of
+        # host<->device traffic per image through the ~225 MB/s tunnel for a
+        # plot that keeps num_rays_per_image of them.
+        pix = np.random.randint(0, height * width, size=num_rays_per_image)
+        px = (pix % width).astype(np.float32) + 0.5
+        py = (pix // width).astype(np.float32) + 0.5
+        cam_dirs = np.stack(
+            [
+                (px - width * 0.5) / focal,
+                -(py - height * 0.5) / focal,
+                -np.ones_like(px),
+            ],
+            axis=-1,
         )
-        np.random.shuffle(combined)
-        selected = combined[:num_rays_per_image]
-        origins, directions = selected[:, :3], selected[:, 3:]
+        rotation = np.asarray(pose.rotation, np.float32).reshape(3, 3)
+        translation = np.asarray(pose.translation, np.float32).reshape(3)
+        directions = cam_dirs @ rotation.T
+        origins = np.broadcast_to(translation, directions.shape).copy()
+        if do_ndcize_rays:
+            rays = ndcize_rays(
+                Rays(origins=jnp.asarray(origins),
+                     directions=jnp.asarray(directions)),
+                dataset.camera_intrinsics,
+            )
+            origins = np.asarray(rays.origins)
+            directions = np.asarray(rays.directions)
         all_camera_locations.append(origins[0])
 
         far_plane = dataset.camera_bounds.far if not do_ndcize_rays else 1.0
