@@ -241,16 +241,22 @@ def test_occupancy_gating_gradients_exactly_lossless():
 def test_gnomonic_mesh_step_matches_pose_average():
     """The pose-parallel mesh step must equal the single-device step taken on
     the AVERAGE of the per-pose gradients (SGD so grid deltas are exactly
-    -lr * grad; Adam's sign-like first step would hide psum layout bugs)."""
+    -lr * grad; Adam's sign-like first step would hide psum layout bugs).
+    Runs with k=2 poses PER DEVICE — the view-diversity floor composes with
+    narrow meshes by per-device accumulation (trainer.py: a 2-device mesh
+    still averages >= _GN_MIN_POSES_PER_STEP distinct views per step)."""
     if jax.device_count() < 2:
         pytest.skip("needs the multi-device CPU mesh")
     n_dev = 4 if jax.device_count() >= 4 else 2
+    k = 2
     key = jax.random.PRNGKey(7)
     grid = _tiny_scene(key)
     H = W = 24
     focal = 26.0
-    # n_dev poses sharing one march variant
-    poses = [pose_spherical(30.0 + 10.0 * i, -40.0, 3.5) for i in range(n_dev)]
+    # n_dev * k poses sharing one march variant
+    poses = [
+        pose_spherical(30.0 + 5.0 * i, -40.0, 3.5) for i in range(n_dev * k)
+    ]
     variants = {
         dominant_axis_for_pose(np.asarray(p.rotation).reshape(3, 3))
         for p in poses
@@ -260,13 +266,13 @@ def test_gnomonic_mesh_step_matches_pose_average():
     rotations = jnp.asarray(
         np.stack([np.asarray(p.rotation).reshape(3, 3) for p in poses]),
         jnp.float32,
-    )
+    ).reshape(n_dev, k, 3, 3)
     origins = jnp.asarray(
         np.stack([np.asarray(p.translation).reshape(3) for p in poses]),
         jnp.float32,
-    )
+    ).reshape(n_dev, k, 3)
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.random((n_dev, H, W, 3), dtype=np.float32))
+    images = jnp.asarray(rng.random((n_dev, k, H, W, 3), dtype=np.float32))
 
     tstat = gt.make_gnomonic_train_statics(
         grid, axis, flip, image_height=H, image_width=W, white_bkgd=True,
@@ -287,14 +293,15 @@ def test_gnomonic_mesh_step_matches_pose_average():
         functools.partial(gt._pose_loss, tstat), has_aux=True
     )
     grads = None
-    for i in range(n_dev):
+    for i in range(n_dev * k):
         g_i, _aux = grad_fn(
-            grid, images[i], rotations[i], origins[i], jnp.float32(focal)
+            grid, images[i // k, i % k], rotations[i // k, i % k],
+            origins[i // k, i % k], jnp.float32(focal)
         )
         grads = g_i if grads is None else jax.tree_util.tree_map(
             jnp.add, grads, g_i
         )
-    grads = jax.tree_util.tree_map(lambda x: x / n_dev, grads)
+    grads = jax.tree_util.tree_map(lambda x: x / (n_dev * k), grads)
     updates, _ = tx.update(grads, tx.init(grid), grid)
     g_ref = optax.apply_updates(copy(grid), updates)
 
@@ -512,4 +519,111 @@ def test_gnomonic_multi_step_matches_pose_average():
     )
     np.testing.assert_allclose(
         float(m_multi["total_loss"]), np.mean(losses), rtol=1e-6
+    )
+
+
+@pytest.mark.parametrize("with_diffuse,multi_block", [(True, False),
+                                                      (False, True)])
+def test_fused_train_path_matches_v2(with_diffuse, multi_block):
+    """The FUSED (v3) train pipeline — in-kernel u-resample forward + fused
+    replay VJP emitting dslices directly, no t1/dt1 HBM tensors — must agree
+    with the v2 pipeline (separate u-resample einsum + per-u-block backward)
+    at bf16 tolerance, including across u-block (PB=2) and q-block (QB=2)
+    accumulation boundaries."""
+    key = jax.random.PRNGKey(3)
+    grid = _tiny_scene(key)
+    pose = pose_spherical(40.0, -35.0, 3.5)
+    focal = 26.0
+    rotation = jnp.asarray(np.asarray(pose.rotation).reshape(3, 3), jnp.float32)
+    origin = jnp.asarray(np.asarray(pose.translation).reshape(3), jnp.float32)
+    axis, flip = dominant_axis_for_pose(np.asarray(pose.rotation).reshape(3, 3))
+    if multi_block:
+        kwargs = dict(image_height=40, image_width=40, white_bkgd=True,
+                      apply_diffuse_render_regularization=False,
+                      pos_per_cell=1, interpret=True, qb=128, supersample=4.0)
+    else:
+        kwargs = dict(image_height=24, image_width=24, white_bkgd=True,
+                      apply_diffuse_render_regularization=with_diffuse,
+                      pos_per_cell=2, interpret=True, qb=128)
+    ts_v2 = gt.make_gnomonic_train_statics(grid, axis, flip, fused=False,
+                                           **kwargs)
+    ts_f = gt.make_gnomonic_train_statics(grid, axis, flip, fused=True,
+                                          **kwargs)
+    assert ts_f.fused and not ts_v2.fused
+    if multi_block:
+        Pn, Qn, _PB, _Pb = ts_f.frame
+        assert Qn == 256  # q-split: QB=2
+        ts_f = ts_f._replace(frame=(Pn, Qn, 2, Pn // 2))  # u-blocks: PB=2
+
+    def loss(g, ts):
+        out = gt.render_pose_diff(g, rotation, origin, jnp.float32(focal), ts)
+        total = jnp.sum(out.colour ** 2)
+        if ts.apply_diffuse_render_regularization:
+            total = total + jnp.sum(out.extra["diffuse_colour"])
+        return total
+
+    np.testing.assert_allclose(
+        float(loss(grid, ts_f)), float(loss(grid, ts_v2)), rtol=2e-5
+    )
+    gv = jax.grad(lambda g: loss(g, ts_v2))(grid)
+    gf = jax.grad(lambda g: loss(g, ts_f))(grid)
+    for fld in ("densities", "features"):
+        a = np.asarray(getattr(gv, fld), np.float32)
+        b = np.asarray(getattr(gf, fld), np.float32)
+        assert np.isfinite(b).all()
+        denom = np.maximum(np.abs(a), 1e-2 * np.abs(a).max() + 1e-8)
+        rel = np.abs(a - b) / denom
+        assert np.quantile(rel, 0.999) < 0.02, (fld, np.quantile(rel, 0.999))
+        cos = float(np.sum(a * b)
+                    / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+        assert cos > 0.99999, (fld, cos)
+
+
+def test_fused_train_occupancy_gating_exactly_lossless():
+    """Fused-path analogue of the v2 occupancy-gating test: on a sparse scene
+    the lite-occupancy-gated fused VJP must produce EXACTLY the gradients of
+    all-live flags."""
+    import dataclasses
+
+    from thr3ed_atom_tpu.rendering import gnomonic as gn_mod
+
+    key = jax.random.PRNGKey(13)
+    grid = _tiny_scene(key, n=12)
+    coords = jnp.stack(jnp.meshgrid(*[jnp.arange(12)] * 3, indexing="ij"), -1)
+    dist = jnp.linalg.norm(coords - 5.5, axis=-1, keepdims=True)
+    grid = dataclasses.replace(
+        grid, densities=jnp.where(dist < 2.5, grid.densities, -1.0)
+    )
+    pose = pose_spherical(70.0, -30.0, 3.5)
+    rotation = jnp.asarray(np.asarray(pose.rotation).reshape(3, 3), jnp.float32)
+    origin = jnp.asarray(np.asarray(pose.translation).reshape(3), jnp.float32)
+    axis, flip = dominant_axis_for_pose(np.asarray(pose.rotation).reshape(3, 3))
+    tstat = gt.make_gnomonic_train_statics(
+        grid, axis, flip, image_height=24, image_width=24, white_bkgd=True,
+        apply_diffuse_render_regularization=True, pos_per_cell=1,
+        interpret=True, qb=128, fused=True,
+    )
+
+    def loss(g):
+        out = gt.render_pose_diff(g, rotation, origin, jnp.float32(26.0), tstat)
+        return jnp.sum(out.colour**2) + jnp.sum(out.extra["diffuse_colour"])
+
+    g_gated = jax.grad(loss)(grid)
+    orig = gn_mod.gnomonic_occupancy_lite
+    try:
+        gn_mod.gnomonic_occupancy_lite = (
+            lambda slices, geom, statics, Pn, Qn, PB, Pb, QB, Qb: (
+                jnp.ones((PB, QB, slices.shape[0]), jnp.int32),
+                jnp.ones((PB, QB, slices.shape[0]), jnp.int32),
+                jnp.ones((PB, slices.shape[0]), jnp.int32),
+            )
+        )
+        g_dense = jax.grad(loss)(grid)
+    finally:
+        gn_mod.gnomonic_occupancy_lite = orig
+    np.testing.assert_array_equal(
+        np.asarray(g_gated.densities), np.asarray(g_dense.densities)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(g_gated.features), np.asarray(g_dense.features)
     )

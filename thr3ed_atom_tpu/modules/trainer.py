@@ -309,6 +309,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
     seed: int = 42,
     resume_from: Optional[Path] = None,
     gnomonic_poses_per_step: int = 0,
+    mesh_devices: int = 0,  # with use_mesh: clamp the mesh width (0 = all)
 ) -> VolumetricModel:
     """Coarse-to-fine training loop (reference trainers.py:49-491 anatomy preserved):
     per stage — fresh Adam at stagewise-decayed LR, exponential in-stage decay, jitted
@@ -572,11 +573,15 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                 np.float64,
             )
             gn_bucket_weights /= gn_bucket_weights.sum()
-            gn_mesh_devices = jax.device_count() if use_mesh else 1
+            gn_mesh_devices = 1
+            if use_mesh:
+                gn_mesh_devices = jax.device_count()
+                if mesh_devices > 0:
+                    gn_mesh_devices = min(gn_mesh_devices, mesh_devices)
             if use_mesh:
                 log.info(
                     f"gnomonic mesh training over {gn_mesh_devices} devices "
-                    "(one whole training view per device)"
+                    "(whole training views, pose-parallel)"
                 )
             # honour the requested ray budget: when a whole pose is fewer rays
             # than ray_batch_size (small training resolutions), accumulate
@@ -584,19 +589,24 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
             # HBM footprint) so equal-iteration comparisons against the
             # ray-batch trainers see equal data
             _pose_rays = stage_intrinsics.height * stage_intrinsics.width
-            if use_mesh:
-                gn_poses_per_step = 1
-            elif gnomonic_poses_per_step > 0:
-                gn_poses_per_step = gnomonic_poses_per_step
+            if gnomonic_poses_per_step > 0:
+                gn_target_poses = gnomonic_poses_per_step
             else:
                 # ray-budget matching alone would let high-res stages
                 # degenerate to single-view steps; whole-pose gradients are
                 # view-correlated, and k=1 steps at the canonical lr=0.03
                 # measurably thrash the grid (canonical-run stage 3:
                 # heldout 44.9 -> 31.1 dB). Floor per-step view diversity.
-                gn_poses_per_step = max(
+                gn_target_poses = max(
                     _GN_MIN_POSES_PER_STEP, round(ray_batch_size / _pose_rays)
                 )
+            if use_mesh:
+                # the floor composes with mesh width: each device accumulates
+                # ceil(target / n_dev) poses so a 2-device mesh still sees >=
+                # _GN_MIN_POSES_PER_STEP distinct views per step
+                gn_poses_per_step = -(-gn_target_poses // gn_mesh_devices)
+            else:
+                gn_poses_per_step = gn_target_poses
             # the gnomonic analogue of the reference's stratified-jitter flag:
             # per-step sub-texel phase shift of the resample frame (unbiased)
             gn_jitter = bool(vol_mod.render_config.perturb_sampled_points)
@@ -705,12 +715,15 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                     gnomonic_tstats[variant] = tstat
                 bucket = gn_variant_buckets[variant]
                 if gn_mesh_devices > 1:
-                    idx = pose_picker.choice(bucket, size=gn_mesh_devices)
+                    idx = jnp.asarray(
+                        pose_picker.choice(
+                            bucket,
+                            size=(gn_mesh_devices, gn_poses_per_step),
+                        )
+                    )
                     grid, opt_state, metrics = gnomonic_train_step_mesh(
                         tstat, tx, gn_mesh_devices, grid, opt_state,
-                        images[jnp.asarray(idx)],
-                        poses[jnp.asarray(idx), :, :3],
-                        poses[jnp.asarray(idx), :, 3],
+                        images[idx], poses[idx, :, :3], poses[idx, :, 3],
                         jnp.float32(stage_intrinsics.focal),
                         step_key if gn_jitter else None,
                     )

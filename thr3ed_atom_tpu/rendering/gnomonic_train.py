@@ -30,7 +30,7 @@ carries dt1 -> dslices -> d(grid).
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -101,6 +101,73 @@ def gnomonic_frame_train(height: int, width: int, supersample: float,
     Pn_raw, Qn, nv, C = frame_rounding(height, width, supersample, statics)
     PB, Pb, Pn = _p_blocking_train(Pn_raw, Qn, nv, C, statics.with_diffuse,
                                    qb_acc=statics.qb > 0)
+    return Pn, Qn, PB, Pb
+
+
+# ------------------------------------------------- fused (v3) train blocking
+
+
+def _fused_train_blocking(Pn_raw: int, Qn: int, nu: int, nv: int, C: int,
+                          ncoeff: int, with_diffuse: bool, qb: int):
+    """(PB, Pb, Pn) for the FUSED backward kernel, or None if its frame-
+    resident VMEM working set cannot fit. Unlike the v2 backward (u-blocks
+    outermost), the fused backward iterates positions outermost so the whole
+    frame's carries persist in scratch — most of the working set is
+    Pn*Qn-proportional and independent of the blocking; Pb only sizes the
+    per-(position, u-block) matmul operands."""
+    SROWS, PROWS = _sprows(with_diffuse)
+    NDM = PROWS - 1
+    Qb = qb if (qb > 0 and Qn > qb and Qn % qb == 0) else Qn
+    budget = 100 * 1024 * 1024
+    PB = 1
+    while True:
+        Pb = -(-Pn_raw // (8 * PB)) * 8
+        Pn = PB * Pb
+        frame_resident = 4 * Pn * Qn * (
+            (PROWS + NDM + 2)  # prev + pend + carry scratch
+            + (SROWS + 2)  # gaux (VMEM-resident constant block)
+            + ncoeff + 1  # ybasis + norm (VMEM-resident constant blocks)
+        )
+        per_pb = (
+            2 * C * Pb * nv  # t1m (replayed position values, bf16)
+            + 4 * C * Pb * nv  # dt1 f32 accumulator
+            + 2 * Pb * C * nv  # dflat reorganized dt1 (bf16)
+            + (4 + 2) * C * Pb * Qb  # vals f32 + dvals bf16 temporaries
+        )
+        est = (
+            frame_resident
+            + per_pb
+            + 4 * nu * C * nv  # dslices f32 accumulator
+            + 2 * 2 * nu * C * nv * 2  # slices in + dsl out, double-buffered
+        )
+        if est <= budget:
+            return PB, Pb, Pn
+        if PB >= 64 or per_pb < (est - budget):
+            return None  # frame-resident set alone exceeds budget
+        PB *= 2
+
+
+def fused_train_frame(height: int, width: int, supersample: float,
+                      statics: GnomonicStatics):
+    """(Pn, Qn, PB, Pb) for the fused train pipeline, or None when the fused
+    backward is unsupported for this (statics, shape): needs the q-split
+    statics (qb > 0), lane-aligned grid slabs (nv % 128, like the fused render
+    path — gnomonic._use_fused_composite), and a frame whose carries fit VMEM."""
+    from thr3ed_atom_tpu.rendering.bricked import _uv_axes
+
+    if statics.qb <= 0:
+        return None
+    u_ax, v_ax = _uv_axes(statics.axis)
+    nu = statics.dims[u_ax]
+    Pn_raw, Qn, nv, C = frame_rounding(height, width, supersample, statics)
+    if nv % 128 != 0 and not statics.interpret:
+        return None
+    blocking = _fused_train_blocking(
+        Pn_raw, Qn, nu, nv, C, statics.ncoeff, statics.with_diffuse, statics.qb
+    )
+    if blocking is None:
+        return None
+    PB, Pb, Pn = blocking
     return Pn, Qn, PB, Pb
 
 
@@ -612,6 +679,392 @@ def _composite_backward(t1, rvt, ybasis, live_u, live_v, norm, geom, gaux,
       gaux)
 
 
+# ------------------------------------------------ fused (v3) backward kernel
+
+
+def _make_backward_kernel_fused(NP, Pb, Qb, QB, PB, nu, nv, C, ncoeff,
+                                relu_sigma, with_diffuse):
+    """FUSED replay VJP: raw position slices in, dslices out — neither the t1
+    values tensor nor its dt1 cotangent ever exist in HBM (the training-path
+    port of gnomonic._make_composite_kernel_fused; round-4 deleted the same
+    ~1 GB/pose round trip from the render path).
+
+    grid=(NP + 1, PB, QB) — positions OUTERMOST (the v2 backward puts u-blocks
+    outermost). That inversion is what makes the fusion work: the whole
+    frame's march carries (T, inner prefix, previous-position rows, pending
+    cotangent rows) persist in [PB, QB, rows, Pb, Qb] scratch, each raw slice
+    block streams from HBM exactly once per position, and position j-1's
+    dslices cotangent accumulates across (pb, qb) in an f32 scratch before a
+    single flush — HBM traffic per pose drops from ~2x t1 + 2x dt1 (~4 GB at
+    128^3/400px/P=2) to 2x slices (~0.5 GB).
+
+    Per (j, pb, qb) step, tent weights are rebuilt in-kernel from the affine
+    geom scalars (U = bu + ku*p, V = bv + kv*q): w_u for the replay resample
+    at qb == 0 (one [Pb, nu] @ [nu, C*nv] MXU pass into t1m scratch), w_v for
+    the replayed values, and the POSITION j-1 tents (w_v', w_u'T) for the two
+    cotangent folds dvals -> dt1 -> dslices. Replay math is bit-identical to
+    the fused forward (same dots, same operand roundings)."""
+    SROWS, PROWS = _sprows(with_diffuse)
+    LROW = PROWS - 1
+    NDM = PROWS - 1  # pending rows: dsig + drgb*3 (+ ddif*3)
+
+    def kernel(geom_ref, cl_ref, pn_ref, pa_ref, sl_ref, yb_ref, norm_ref,
+               gaux_ref, dsl_ref, prev_ref, pend_ref, carry_ref, t1m_ref,
+               dt1_ref, dflat_ref, dslacc_ref):
+        j = pl.program_id(0)
+        pb = pl.program_id(1)
+        qb = pl.program_id(2)
+
+        @pl.when(j == 0)
+        def _():
+            carry_ref[pb, qb, 0] = jnp.ones((Pb, Qb), jnp.float32)
+            carry_ref[pb, qb, 1] = jnp.zeros((Pb, Qb), jnp.float32)
+            pend_ref[pb, qb] = jnp.zeros((NDM, Pb, Qb), jnp.float32)
+
+        @pl.when(qb == 0)
+        def _():
+            dt1_ref[...] = jnp.zeros_like(dt1_ref)
+
+        @pl.when((pb == 0) & (qb == 0))
+        def _():
+            dslacc_ref[...] = jnp.zeros_like(dslacc_ref)
+
+        jc = jnp.minimum(j, NP - 1)  # geom/flag rows are [NP]; j reaches NP
+        jp = jnp.maximum(j - 1, 0)
+        s_j = geom_ref[jc, 0]
+        bu = geom_ref[jc, 2]
+        ku = geom_ref[jc, 3]
+        bv = geom_ref[jc, 4]
+        kv = geom_ref[jc, 5]
+
+        # ---- u-resample position jc's slice once (at the first q-block)
+        @pl.when((qb == 0) & (pa_ref[pb, jc] > 0))
+        def _():
+            p_io = jax.lax.broadcasted_iota(jnp.int32, (Pb, nu), 0)
+            u_io = jax.lax.broadcasted_iota(jnp.int32, (Pb, nu), 1)
+            U = bu + ku * (p_io + pb * Pb).astype(jnp.float32)
+            w_u = jnp.maximum(0.0, 1.0 - jnp.abs(U - u_io.astype(jnp.float32)))
+            t1v = jnp.dot(
+                w_u.astype(jnp.bfloat16), sl_ref[0],
+                preferred_element_type=jnp.float32,
+            )  # [Pb, C*nv]
+            for c in range(C):
+                t1m_ref[c * Pb:(c + 1) * Pb, :] = (
+                    t1v[:, c * nv:(c + 1) * nv].astype(jnp.bfloat16)
+                )
+
+        live_replay = pn_ref[pb, qb, jc] > 0
+        live_out = (j > 0) & (pn_ref[pb, qb, jp] > 0)
+        work = live_replay | live_out
+
+        @pl.when(jnp.logical_not(work))
+        def _():
+            # dead iteration: the pending rows must reflect cell j's (zero)
+            # b-side contribution; dt1/dslacc keep other blocks' partials
+            pend_ref[pb, qb] = jnp.zeros((NDM, Pb, Qb), jnp.float32)
+
+        @pl.when(work)
+        def _():
+            _work_body(geom_ref, cl_ref, yb_ref, norm_ref, gaux_ref, prev_ref,
+                       pend_ref, carry_ref, t1m_ref, dt1_ref, j, jc, pb, qb,
+                       s_j, bu, ku, bv, kv)
+
+        # ---- fold this u-block's completed dt1[j-1] into the dslices
+        # accumulator through position j-1's u-tents (transposed build: the
+        # [nu, Pb] orientation avoids any in-kernel transpose)
+        @pl.when((qb == QB - 1) & (j > 0) & (pa_ref[pb, jp] > 0))
+        def _():
+            for c in range(C):
+                dflat_ref[:, c * nv:(c + 1) * nv] = (
+                    dt1_ref[c * Pb:(c + 1) * Pb, :].astype(jnp.bfloat16)
+                )
+            u_io = jax.lax.broadcasted_iota(jnp.int32, (nu, Pb), 0)
+            p_io = jax.lax.broadcasted_iota(jnp.int32, (nu, Pb), 1)
+            Up = geom_ref[jp, 2] + geom_ref[jp, 3] * (
+                p_io + pb * Pb
+            ).astype(jnp.float32)
+            w_uT = jnp.maximum(
+                0.0, 1.0 - jnp.abs(Up - u_io.astype(jnp.float32))
+            )
+            dslacc_ref[...] += jnp.dot(
+                w_uT.astype(jnp.bfloat16), dflat_ref[...],
+                preferred_element_type=jnp.float32,
+            )  # [nu, C*nv]
+
+        @pl.when((j > 0) & (pb == PB - 1) & (qb == QB - 1))
+        def _():
+            dsl_ref[0] = dslacc_ref[...].astype(jnp.bfloat16)
+
+    def _work_body(geom_ref, cl_ref, yb_ref, norm_ref, gaux_ref, prev_ref,
+                   pend_ref, carry_ref, t1m_ref, dt1_ref, j, jc, pb, qb,
+                   s_j, bu, ku, bv, kv):
+        # ---- replay position jc (garbage-masked for j == NP and for stale
+        # t1m at pa-dead positions — see the pa invariant in the v2 kernel)
+        q_io = jax.lax.broadcasted_iota(jnp.int32, (nv, Qb), 1)
+        v_io = jax.lax.broadcasted_iota(jnp.int32, (nv, Qb), 0)
+        V = bv + kv * (q_io + qb * Qb).astype(jnp.float32)
+        w_v = jnp.maximum(0.0, 1.0 - jnp.abs(V - v_io.astype(jnp.float32)))
+        vals = jnp.dot(
+            t1m_ref[...], w_v.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )  # [C*Pb, Qb]
+        pq_p = jax.lax.broadcasted_iota(jnp.int32, (Pb, Qb), 0)
+        pq_q = jax.lax.broadcasted_iota(jnp.int32, (Pb, Qb), 1)
+        Up_l = bu + ku * (pq_p + pb * Pb).astype(jnp.float32)
+        Vq_l = bv + kv * (pq_q + qb * Qb).astype(jnp.float32)
+        livem = (
+            (Up_l >= -0.5) & (Up_l <= nu - 0.5) & (s_j > 0.0)
+            & (Vq_l >= -0.5) & (Vq_l <= nv - 0.5)
+        ).astype(jnp.float32)
+        sig = vals[3 * ncoeff * Pb:(3 * ncoeff + 1) * Pb, :]
+
+        def fold(colour, coeffs):
+            acc = yb_ref[pb, qb, 0] * vals[
+                (colour * ncoeff) * Pb:(colour * ncoeff + 1) * Pb
+            ]
+            for k in range(1, coeffs):
+                ch = colour * ncoeff + k
+                acc += yb_ref[pb, qb, k] * vals[ch * Pb:(ch + 1) * Pb]
+            return acc
+
+        rgb = [fold(c, ncoeff) for c in range(3)]
+        dif = [fold(c, 1) for c in range(3)] if with_diffuse else []
+
+        cell_on = (j > 0) & (j < NP) & (cl_ref[pb, qb, jc] > 0)
+
+        def m(x):  # mask with select (safe against garbage NaNs at j == 0 / NP)
+            return jnp.where(cell_on, x, jnp.zeros_like(x))
+
+        # ---- recompute cell j forward quantities (between positions j-1, j)
+        sig_a = prev_ref[pb, qb, 0]
+        live_pair = prev_ref[pb, qb, LROW] * livem
+        integ_raw, tbar, dIda, dIdb = _relu_trap(sig_a, sig, relu_sigma)
+        integ = integ_raw * live_pair
+        cell_step = geom_ref[jc, 1]
+        delta = cell_step * norm_ref[pb, qb]
+        e = jnp.exp(-integ * delta)
+        alpha = 1.0 - e
+        T = carry_ref[pb, qb, 0]
+        w = m(alpha * T)
+        s_b = geom_ref[jc, 0]
+        s_mid = (s_b - cell_step + tbar * cell_step) * norm_ref[pb, qb]
+        tb1 = 1.0 - tbar
+
+        g_col = [gaux_ref[pb, qb, 1 + c] for c in range(3)]
+        g_acc = gaux_ref[pb, qb, 4]
+        g_dep = gaux_ref[pb, qb, 5]
+        g_dif = (
+            [gaux_ref[pb, qb, 6 + c] for c in range(3)] if with_diffuse else []
+        )
+        g_T = gaux_ref[pb, qb, 0]
+        S_total = gaux_ref[pb, qb, SROWS]
+        T_fin = gaux_ref[pb, qb, SROWS + 1]
+
+        mids = [
+            jax.nn.sigmoid(tb1 * prev_ref[pb, qb, 1 + c] + tbar * rgb[c])
+            for c in range(3)
+        ]
+        inner = g_acc + g_dep * s_mid
+        for c in range(3):
+            inner += g_col[c] * mids[c]
+        if with_diffuse:
+            dmids = [
+                jax.nn.sigmoid(tb1 * prev_ref[pb, qb, 4 + c] + tbar * dif[c])
+                for c in range(3)
+            ]
+            for c in range(3):
+                inner += g_dif[c] * dmids[c]
+
+        S_prefix = carry_ref[pb, qb, 1] + m(inner * w)
+        suffix = (S_total - S_prefix) + g_T * T_fin
+        # division-free dL/d(integral): delta * ((1-alpha) * T * inner - suffix).
+        # every product is masked AFTER multiplication (0 * NaN from the
+        # uninitialized j==0 prev scratch would otherwise leak)
+        dinteg = delta * (e * T * inner - suffix) * live_pair
+        d_a = m(dinteg * dIda)
+        d_b = m(dinteg * dIdb)
+
+        dmraws = [g_col[c] * w * mids[c] * (1.0 - mids[c]) for c in range(3)]
+        if with_diffuse:
+            ddmraws = [
+                g_dif[c] * w * dmids[c] * (1.0 - dmids[c]) for c in range(3)
+            ]
+
+        # ---- accumulate this q-block's partial dt1 for position j-1
+        # (pending b-side of cell j-1 + this cell's a-side), folded through
+        # position j-1's v-tents built in the [Qb, nv] orientation
+        @pl.when(j > 0)
+        def _():
+            dsig_prev = pend_ref[pb, qb, 0] + d_a
+            drgb_prev = [
+                pend_ref[pb, qb, 1 + c] + m(tb1 * dmraws[c]) for c in range(3)
+            ]
+            if with_diffuse:
+                ddif_prev = [
+                    pend_ref[pb, qb, 4 + c] + m(tb1 * ddmraws[c])
+                    for c in range(3)
+                ]
+            blocks = []
+            for ch in range(C):
+                if ch < 3 * ncoeff:
+                    c, k = divmod(ch, ncoeff)
+                    blk = yb_ref[pb, qb, k] * drgb_prev[c]
+                    if with_diffuse and k == 0:
+                        blk = blk + yb_ref[pb, qb, 0] * ddif_prev[c]
+                elif ch == 3 * ncoeff:
+                    blk = dsig_prev
+                else:
+                    blk = jnp.zeros((Pb, Qb), jnp.float32)
+                blocks.append(blk)
+            dvals = jnp.concatenate(blocks, axis=0)  # [C*Pb, Qb]
+            jpp = jnp.maximum(j - 1, 0)
+            q_io2 = jax.lax.broadcasted_iota(jnp.int32, (Qb, nv), 0)
+            v_io2 = jax.lax.broadcasted_iota(jnp.int32, (Qb, nv), 1)
+            Vp = geom_ref[jpp, 4] + geom_ref[jpp, 5] * (
+                q_io2 + qb * Qb
+            ).astype(jnp.float32)
+            w_vp = jnp.maximum(
+                0.0, 1.0 - jnp.abs(Vp - v_io2.astype(jnp.float32))
+            )
+            dt1_ref[...] += jnp.dot(
+                dvals.astype(jnp.bfloat16), w_vp.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )  # [C*Pb, nv]
+
+        # ---- roll pending to this position's b-side; advance carries
+        pend_ref[pb, qb, 0] = d_b
+        for c in range(3):
+            pend_ref[pb, qb, 1 + c] = m(tbar * dmraws[c])
+        if with_diffuse:
+            for c in range(3):
+                pend_ref[pb, qb, 4 + c] = m(tbar * ddmraws[c])
+        carry_ref[pb, qb, 0] = jnp.where(cell_on, T * (1.0 - alpha), T)
+        carry_ref[pb, qb, 1] = jnp.where(cell_on, S_prefix, carry_ref[pb, qb, 1])
+
+        # ---- store position values for the next cell
+        prev_ref[pb, qb, 0] = sig
+        for c in range(3):
+            prev_ref[pb, qb, 1 + c] = rgb[c]
+        if with_diffuse:
+            for c in range(3):
+                prev_ref[pb, qb, 4 + c] = dif[c]
+        prev_ref[pb, qb, LROW] = livem
+
+    return kernel, SROWS, PROWS
+
+
+def _composite_backward_fused(slices, ybasis, norm, geom, gaux, occupancy,
+                              statics, Pn, Qn, PB, Pb):
+    """Run the fused replay VJP: [NP, nu, C, nv] bf16 dslices out (see
+    _make_backward_kernel_fused). ``occupancy`` is the 3-tuple from
+    gnomonic_occupancy_lite."""
+    from thr3ed_atom_tpu.rendering.gnomonic import _qb_blocks
+
+    QB, Qb = _qb_blocks(statics, Qn)
+    cell_live, pos_needed, pos_any = occupancy
+    NP, nu = slices.shape[0], slices.shape[1]
+    nv = slices.shape[3]
+    C = _padded_channels(statics)
+    kernel, SROWS, PROWS = _make_backward_kernel_fused(
+        NP, Pb, Qb, QB, PB, nu, nv, C, statics.ncoeff, statics.relu_sigma,
+        statics.with_diffuse,
+    )
+    NDM = PROWS - 1
+    last = NP - 1
+    slices2d = slices.reshape(NP, nu, C * nv)
+    # every Pn/Qn-wide operand reorganizes to [PB, QB, ..., Pb, Qb] so all
+    # in-kernel accesses are leading-dim indices on VMEM-resident blocks
+    yb_pq = jnp.transpose(
+        ybasis.reshape(statics.ncoeff, PB, Pb, QB, Qb), (1, 3, 0, 2, 4)
+    )
+    norm_pq = jnp.transpose(norm.reshape(PB, Pb, QB, Qb), (0, 2, 1, 3))
+    gaux_pq = jnp.transpose(
+        gaux.reshape(SROWS + 2, PB, Pb, QB, Qb), (1, 3, 0, 2, 4)
+    )
+    dsl = pl.pallas_call(
+        kernel,
+        grid=(NP + 1, PB, QB),
+        in_specs=[
+            pl.BlockSpec((NP, 8), lambda t, pb, qb: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((PB, QB, NP), lambda t, pb, qb: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((PB, QB, NP), lambda t, pb, qb: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((PB, NP), lambda t, pb, qb: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nu, C * nv),
+                         lambda t, pb, qb: (jnp.minimum(t, last), 0, 0)),
+            pl.BlockSpec((PB, QB, statics.ncoeff, Pb, Qb),
+                         lambda t, pb, qb: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((PB, QB, Pb, Qb), lambda t, pb, qb: (0, 0, 0, 0)),
+            pl.BlockSpec((PB, QB, SROWS + 2, Pb, Qb),
+                         lambda t, pb, qb: (0, 0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nu, C * nv), lambda t, pb, qb: (jnp.maximum(t - 1, 0), 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((NP, nu, C * nv), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((PB, QB, PROWS, Pb, Qb), jnp.float32),
+            pltpu.VMEM((PB, QB, NDM, Pb, Qb), jnp.float32),
+            pltpu.VMEM((PB, QB, 2, Pb, Qb), jnp.float32),
+            pltpu.VMEM((C * Pb, nv), jnp.bfloat16),
+            pltpu.VMEM((C * Pb, nv), jnp.float32),
+            pltpu.VMEM((Pb, C * nv), jnp.bfloat16),
+            pltpu.VMEM((nu, C * nv), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024
+        ),
+        interpret=statics.interpret,
+    )(geom, cell_live, pos_needed, pos_any, slices2d, yb_pq, norm_pq, gaux_pq)
+    return dsl.reshape(NP, nu, C, nv)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def composite_positions_fused_diff(slices, ybasis, norm, geom, cell_live,
+                                   pos_needed, pos_any,
+                                   statics: GnomonicStatics, Pn, Qn, PB, Pb):
+    """composite_positions_fused with the fused replay VJP wrt slices (the
+    only grid-dependent input). Forward and backward both run WITHOUT the t1
+    values tensor or the Ru/RvT geometry tensors ever touching HBM."""
+    from thr3ed_atom_tpu.rendering.gnomonic import composite_positions_fused
+
+    return composite_positions_fused(
+        slices, ybasis, norm, geom, statics, Pn, Qn, PB, Pb,
+        (cell_live, pos_needed, pos_any),
+    )
+
+
+def _cpf_fwd(slices, ybasis, norm, geom, cell_live, pos_needed, pos_any,
+             statics, Pn, Qn, PB, Pb):
+    from thr3ed_atom_tpu.rendering.gnomonic import composite_positions_fused
+
+    state = composite_positions_fused(
+        slices, ybasis, norm, geom, statics, Pn, Qn, PB, Pb,
+        (cell_live, pos_needed, pos_any),
+    )
+    return state, (slices, ybasis, norm, geom, cell_live, pos_needed,
+                   pos_any, state)
+
+
+def _cpf_bwd(statics, Pn, Qn, PB, Pb, res, gstate):
+    (slices, ybasis, norm, geom, cell_live, pos_needed, pos_any, state) = res
+    S_total = jnp.sum(gstate[1:] * state[1:], axis=0)
+    gaux = jnp.concatenate([gstate, S_total[None], state[0:1]], axis=0)
+    dslices = _composite_backward_fused(
+        slices, ybasis, norm, geom, gaux, (cell_live, pos_needed, pos_any),
+        statics, Pn, Qn, PB, Pb,
+    )
+    z = jnp.zeros_like
+    return (dslices, z(ybasis), z(norm), z(geom), z(cell_live),
+            z(pos_needed), z(pos_any))
+
+
+composite_positions_fused_diff.defvjp(_cpf_fwd, _cpf_bwd)
+
+
 # --------------------------------------------------------------- custom VJP
 
 
@@ -679,6 +1132,11 @@ class GnomonicTrainStatics(NamedTuple):
     # (axis, flip, swap) so each compiled step program has a fixed value
     warp_impl: str = "gather"
     warp_swap: bool = False
+    # fused (v3) pipeline: raw slices -> in-kernel u-resample -> composite,
+    # replay VJP emits dslices directly — no t1/dt1 HBM tensors either way.
+    # Chosen at statics construction (fused_train_frame); False falls back to
+    # the v2 (separate u-resample einsum + per-u-block backward) pipeline.
+    fused: bool = False
 
 
 def make_gnomonic_train_statics(
@@ -697,6 +1155,7 @@ def make_gnomonic_train_statics(
     qb: int = 0,
     warp_impl: str = "auto",
     warp_swap: bool = False,
+    fused: Optional[bool] = None,
 ) -> GnomonicTrainStatics:
     from thr3ed_atom_tpu.rendering.gnomonic import effective_supersample
 
@@ -708,7 +1167,21 @@ def make_gnomonic_train_statics(
     supersample = effective_supersample(
         float(supersample), statics, image_height, image_width
     )
-    frame = gnomonic_frame_train(image_height, image_width, supersample, statics)
+    fused_frame = None
+    if fused is not False:  # None = auto, True = require
+        fused_frame = fused_train_frame(image_height, image_width,
+                                        supersample, statics)
+        if fused and fused_frame is None:
+            raise ValueError(
+                "fused gnomonic training requires qb > 0, a lane-aligned "
+                "grid (nv % 128 == 0) and a frame whose carries fit VMEM"
+            )
+    if fused_frame is not None:
+        frame, fused = fused_frame, True
+    else:
+        frame = gnomonic_frame_train(image_height, image_width, supersample,
+                                     statics)
+        fused = False
     if warp_impl == "auto":
         warp_impl = "matmul"
     return GnomonicTrainStatics(
@@ -724,6 +1197,7 @@ def make_gnomonic_train_statics(
         warp_order=int(warp_order),
         warp_impl=str(warp_impl),
         warp_swap=bool(warp_swap),
+        fused=fused,
     )
 
 
@@ -738,15 +1212,41 @@ def render_pose_from_slices(slices, rotation, origin, focal,
     phase = None
     if key is not None:
         phase = tuple(jax.random.uniform(key, (2,), minval=-0.5, maxval=0.5))
+    from thr3ed_atom_tpu.rendering.gnomonic import (
+        _qb_blocks,
+        gnomonic_occupancy_lite,
+    )
+
+    slices = slices.astype(jnp.bfloat16)
+    if tstat.fused:
+        # fused (v3) pipeline: no t1/Ru/RvT tensors in HBM either direction
+        geo = jax.lax.stop_gradient(
+            gnomonic_geometry(
+                rotation, origin, statics, tstat.height, tstat.width, focal,
+                tstat.supersample, frame=(Pn, Qn), phase=phase, lite=True,
+            )
+        )
+        QB, Qb = _qb_blocks(statics, Qn)
+        occupancy = jax.lax.stop_gradient(
+            gnomonic_occupancy_lite(slices, geo.geom, statics, Pn, Qn, PB,
+                                    Pb, QB, Qb)
+        )
+        state = composite_positions_fused_diff(
+            slices, geo.ybasis, geo.norm, geo.geom, *occupancy,
+            statics, Pn, Qn, PB, Pb,
+        )
+        return _warp_to_camera(
+            state, geo.xr, geo.yr, rotation, statics, tstat.height,
+            tstat.width, focal, tstat.supersample, tstat.white_bkgd,
+            frame=(Pn, Qn), warp_order=tstat.warp_order,
+            warp_impl=tstat.warp_impl, warp_swap=tstat.warp_swap,
+        )
     geo = jax.lax.stop_gradient(
         gnomonic_geometry(
             rotation, origin, statics, tstat.height, tstat.width, focal,
             tstat.supersample, frame=(Pn, Qn), phase=phase,
         )
     )
-    from thr3ed_atom_tpu.rendering.gnomonic import _qb_blocks
-
-    slices = slices.astype(jnp.bfloat16)
     t1 = resample_u(slices, geo.Ru)
     QB, _Qb = _qb_blocks(statics, Qn)
     cell_live, pos_needed = jax.lax.stop_gradient(
@@ -870,6 +1370,19 @@ def gnomonic_train_step_multi(
     the per-pose slice cotangent then arrives bf16 (one extra rounding on a
     signal the composite kernel's backward already flushes to bf16) while the
     k-pose SUM still accumulates in f32 and reaches the repack VJP un-rounded."""
+    grads, metrics = _multi_pose_grads(
+        tstat, grid, images, rotations, origins, focal, key
+    )
+    updates, opt_state = tx.update(grads, opt_state, grid)
+    grid = optax.apply_updates(grid, updates)
+    return grid, opt_state, metrics
+
+
+def _multi_pose_grads(tstat: GnomonicTrainStatics, grid, images, rotations,
+                      origins, focal, key):
+    """AVERAGED (grads, metrics) of k whole-pose losses with the hoisted
+    repack (see gnomonic_train_step_multi's docstring) — shared by the
+    single-device multi-pose step and the per-device body of the mesh step."""
     k = images.shape[0]
     slices_f32, repack_vjp = jax.vjp(
         lambda g: repack_position_slices(g, tstat.statics,
@@ -908,9 +1421,7 @@ def gnomonic_train_step_multi(
     )
     (grads,) = repack_vjp(dslsum / k)
     metrics = {k_: v / k for k_, v in auxsum.items()}
-    updates, opt_state = tx.update(grads, opt_state, grid)
-    grid = optax.apply_updates(grid, updates)
-    return grid, opt_state, metrics
+    return grads, metrics
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3, 4))
@@ -920,17 +1431,22 @@ def gnomonic_train_step_mesh(
     n_dev: int,
     grid: VoxelGrid,
     opt_state,
-    images: jnp.ndarray,  # [n_dev, H, W, 3] one training view per device
-    rotations: jnp.ndarray,  # [n_dev, 3, 3] (all the SAME (axis, flip) variant)
-    origins: jnp.ndarray,  # [n_dev, 3]
+    images: jnp.ndarray,  # [n_dev, k, H, W, 3] k training views per device
+    rotations: jnp.ndarray,  # [n_dev, k, 3, 3] (all the SAME (axis, flip) variant)
+    origins: jnp.ndarray,  # [n_dev, k, 3]
     focal: jnp.ndarray,  # scalar
-    key=None,  # optional: per-device sub-texel phase jitter
+    key=None,  # optional: per-pose sub-texel phase jitter
 ):
     """Pose-parallel gnomonic step over a "data" mesh: each device renders and
-    differentiates one whole training view (one fused pipeline launch — the
-    natural gnomonic sharding unit); gradients and metrics psum-average over
-    the mesh. All poses of a step must share the march (axis, flip) variant
-    (the trainer buckets views by dominant_axis_for_pose)."""
+    differentiates k whole training views (sequential scan with the hoisted
+    repack, exactly the single-device multi-pose step); gradients and metrics
+    psum-average over the mesh, so one step averages n_dev * k whole-pose
+    gradients. k > 1 keeps the per-step view-diversity floor
+    (modules/trainer._GN_MIN_POSES_PER_STEP) satisfied on meshes narrower than
+    the floor — single-view steps at the canonical lr measurably thrash the
+    grid (round-4 canonical run: stage-3 heldout 44.9 -> 31.1 dB). All poses
+    of a step must share the march (axis, flip) variant (the trainer buckets
+    views by dominant_axis_for_pose)."""
     from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
@@ -940,9 +1456,9 @@ def gnomonic_train_step_mesh(
         kk = None
         if key is not None:
             kk = jax.random.fold_in(key, jax.lax.axis_index("data"))
-        (_loss, aux), grads = jax.value_and_grad(
-            partial(_pose_loss, tstat), has_aux=True
-        )(g, img[0], rot[0], org[0], foc, kk)
+        grads, aux = _multi_pose_grads(
+            tstat, g, img[0], rot[0], org[0], foc, kk
+        )
         grads = jax.tree_util.tree_map(
             lambda x: jax.lax.psum(x, "data") / n_dev, grads
         )
