@@ -75,7 +75,7 @@ def main():
     report("exact@512 vs exact@1024", render("render_sh_voxel_grid", 512))
     for P in (1, 2):
         for impl in ("matmul", "gather"):
-            for order in (3,) if impl == "matmul" else (1, 3, 5):
+            for order in (1, 3, 5):
                 frames = render(
                     "render_sh_voxel_grid_gnomonic", 256,
                     gnomonic_pos_per_cell=P, gnomonic_qb=128,

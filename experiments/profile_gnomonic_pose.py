@@ -113,8 +113,12 @@ def main():
         gn._march_gnomonic, statics=statics, height=H, width=W, focal=focal,
         supersample=ss,
     )
+    slices_m = slices
+    if gn.use_fused_composite(statics):
+        slices_m, _ = timed("repack (vertex_only, fused path)",
+                            gn._repack_jit, grid, statics, True, True)
     timed("full march (fused jit)", lambda s, r, o: march_fn(s, r, o),
-          slices, rot_j, org_j)
+          slices_m, rot_j, org_j)
 
     # --- train step ---
     print("--- train (whole-pose) ---", flush=True)

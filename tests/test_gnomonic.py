@@ -550,9 +550,12 @@ def test_qb_split_matches_stripe_kernel(key, diffuse, P):
     assert float(jnp.sum(pn_q)) < QB * float(jnp.sum(pn_s))
 
     # the fused path's interval-mask occupancy is a (boundary-tie) SUPERSET of
-    # the tent-support flags — skipping stays lossless
+    # the tent-support flags — skipping stays lossless. It consumes the
+    # VERTEX stack (interior positions' density sign is bounded by the union
+    # of the two endpoint planes).
+    slices_v = gn.repack_position_slices(grid, statics, vertex_only=True)
     cl_l, pn_l, pa_l = gn.gnomonic_occupancy_lite(
-        slices, geo.geom, statics, Pn, Qn, PB, Pb, QB, Qb
+        slices_v, geo.geom, statics, Pn, Qn, PB, Pb, QB, Qb
     )
     assert np.all(np.asarray(cl_l) >= np.asarray(cl_q))
     assert np.all(np.asarray(pn_l) >= np.asarray(pn_q))

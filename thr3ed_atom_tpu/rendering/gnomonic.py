@@ -146,7 +146,8 @@ def _num_positions(statics: GnomonicStatics) -> int:
 
 
 def repack_position_slices(voxel_grid: VoxelGrid, statics: GnomonicStatics,
-                           round_output: bool = True):
+                           round_output: bool = True,
+                           vertex_only: bool = False):
     """Differentiable repack into front-to-back position slices
     [NPos, nu, C, nv] bf16 (pre-activated; C = 3*ncoeff + 1 padded to a lane
     multiple). Interior positions (pos_per_cell > 1) are lerps of the two
@@ -156,6 +157,12 @@ def repack_position_slices(voxel_grid: VoxelGrid, statics: GnomonicStatics,
     bit-identical t1. Occupancy is computed from these same bf16 values, so
     the exact-zero skip rule stays exactly lossless wrt the pipeline's own
     arithmetic.
+
+    ``vertex_only=True`` (the FUSED v3 pipeline) skips the interior
+    interleave and returns the [nvert, nu, C, nv] vertex stack — the fused
+    kernels lerp interior positions in VMEM instead (round-5 measurement:
+    the interleave chain was ~5 ms of the 8.8 ms repack at 128^3/P=2 and
+    doubled every downstream slice read; the transpose itself is ~1.8 ms).
 
     ``round_output=False`` skips the final bf16 rounding: the multi-pose
     train step hoists ONE repack out of its pose scan and must accumulate the
@@ -174,7 +181,7 @@ def repack_position_slices(voxel_grid: VoxelGrid, statics: GnomonicStatics,
     slices = jnp.transpose(unified, (axis, u_ax, 3, v_ax))
     if statics.flip:
         slices = jnp.flip(slices, axis=0)
-    if P == 1:
+    if P == 1 or vertex_only:
         return slices.astype(out_dtype)
     mid_fracs = [k / P for k in range(1, P)]
     lo, hi = slices[:-1], slices[1:]
@@ -628,11 +635,25 @@ def gnomonic_occupancy_lite(slices, geom, statics: GnomonicStatics, Pn: int,
     p-range (U = bu + ku*p), v likewise over the q-range. Closed-interval
     bounds are a (boundary-tie) superset of the tent-support rule, so
     skipping stays exactly lossless. Returns (cell_live, pos_needed,
-    pos_any): [PB, QB, NP], [PB, QB, NP], [PB, NP] int32."""
-    NP = slices.shape[0]
+    pos_any): [PB, QB, NP], [PB, QB, NP], [PB, NP] int32.
+
+    ``slices`` is the VERTEX stack [nvert, nu, C, nv] (the fused kernels lerp
+    interior positions in VMEM). An interior position's density sign is
+    bounded by the union of its two endpoint planes (a positive lerp needs a
+    positive endpoint), so the union keeps the skip rule lossless."""
+    NP = _num_positions(statics)
     nu, nv = slices.shape[1], slices.shape[3]
-    sig = slices[:, :, 3 * statics.ncoeff, :]  # [NP, nu, nv] bf16 pre-relu
-    sig_pos = (sig > 0.0).astype(jnp.float32)
+    P = statics.pos_per_cell
+    sigv = slices[:, :, 3 * statics.ncoeff, :]  # [nvert, nu, nv] pre-relu
+    sigv_pos = (sigv > 0.0).astype(jnp.float32)
+    if P == 1:
+        sig_pos = sigv_pos
+    else:
+        idx = np.arange(NP)
+        ia = jnp.asarray(idx // P)
+        ib = jnp.asarray(np.minimum(idx // P + 1, slices.shape[0] - 1))
+        interior = jnp.asarray((idx % P) > 0, jnp.float32)[:, None, None]
+        sig_pos = jnp.maximum(sigv_pos[ia], interior * sigv_pos[ib])
     bu, ku = geom[:, 2], geom[:, 3]
     bv, kv = geom[:, 4], geom[:, 5]
 
@@ -670,13 +691,41 @@ def gnomonic_occupancy_lite(slices, geom, statics: GnomonicStatics, Pn: int,
     return cell_live, pos_needed, pos_any
 
 
+def _mix_vertex_slices(sl_a_ref, sl_b_ref, j, P):
+    """In-VMEM interior-position lerp of the two neighbouring VERTEX slice
+    blocks (round-5: the repack no longer materializes interior positions —
+    that interleave was ~5 ms/step of pure data movement at 128^3/P=2 and
+    doubled every slice read; a [nu, C*nv] VPU lerp per position is free)."""
+    if P == 1:
+        return sl_a_ref[0]
+    f = (j % P).astype(jnp.float32) * (1.0 / P)
+    mixed = (1.0 - f) * sl_a_ref[0].astype(jnp.float32) \
+        + f * sl_b_ref[0].astype(jnp.float32)
+    return mixed.astype(jnp.bfloat16)
+
+
+def _vertex_index_maps(P, nvert):
+    """Block index maps for the two vertex-slice inputs of the fused kernels:
+    position j reads vertices j//P and min(j//P + 1, nvert-1)."""
+
+    def ia(t):
+        return jnp.minimum(t // P, nvert - 1)
+
+    def ib(t):
+        return jnp.minimum(t // P + 1, nvert - 1)
+
+    return ia, ib
+
+
 def _make_composite_kernel_fused(NP, Pb, Qb, QB, nu, nv, C, ncoeff,
-                                 relu_sigma, with_diffuse, exit_eps):
+                                 relu_sigma, with_diffuse, exit_eps, P):
     """v3: the u-resample matmul moves INSIDE the composite kernel.
 
-    grid=(PB, NP, QB). At qb == 0 of a needed position, the kernel builds the
-    u-tent block [Pb, nu] from the affine geom scalars (U = bu + ku*p), runs
-    ONE [Pb, nu] @ [nu, C*nv] MXU pass against the raw position slice, and
+    grid=(PB, NP, QB). At qb == 0 of a needed position, the kernel lerps the
+    position's slice from its two VERTEX slice blocks (interior quadrature
+    positions are along-axis lerps — computed here instead of materialized by
+    the repack), builds the u-tent block [Pb, nu] from the affine geom
+    scalars (U = bu + ku*p), runs ONE [Pb, nu] @ [nu, C*nv] MXU pass, and
     scatters the result into t1m scratch [C*Pb, nv] (32 static lane->sublane
     block moves). Each qb step then builds its v-tents [nv, Qb] in-kernel and
     proceeds exactly like _make_composite_kernel_qb. Wins vs v2: the [NP, C,
@@ -687,8 +736,8 @@ def _make_composite_kernel_fused(NP, Pb, Qb, QB, nu, nv, C, ncoeff,
     SROWS, PROWS = _sprows(with_diffuse)
     LROW = PROWS - 1
 
-    def kernel(geom_ref, cl_ref, pn_ref, pa_ref, sl_ref, yb_ref, norm_ref,
-               out_ref, prev_ref, state_ref, t1m_ref):
+    def kernel(geom_ref, cl_ref, pn_ref, pa_ref, sl_a_ref, sl_b_ref, yb_ref,
+               norm_ref, out_ref, prev_ref, state_ref, t1m_ref):
         pb = pl.program_id(0)
         j = pl.program_id(1)
         qb = pl.program_id(2)
@@ -707,12 +756,13 @@ def _make_composite_kernel_fused(NP, Pb, Qb, QB, nu, nv, C, ncoeff,
         # ---- u-resample this position's slice once (at the first q-block)
         @pl.when((qb == 0) & (pa_ref[pb, j] > 0))
         def _():
+            sl = _mix_vertex_slices(sl_a_ref, sl_b_ref, j, P)
             p_io = jax.lax.broadcasted_iota(jnp.int32, (Pb, nu), 0)
             u_io = jax.lax.broadcasted_iota(jnp.int32, (Pb, nu), 1)
             U = bu + ku * (p_io + pb * Pb).astype(jnp.float32)
             w_u = jnp.maximum(0.0, 1.0 - jnp.abs(U - u_io.astype(jnp.float32)))
             t1v = jnp.dot(
-                w_u.astype(jnp.bfloat16), sl_ref[0],
+                w_u.astype(jnp.bfloat16), sl,
                 preferred_element_type=jnp.float32,
             )  # [Pb, C*nv]
             for c in range(C):
@@ -799,21 +849,25 @@ def _make_composite_kernel_fused(NP, Pb, Qb, QB, nu, nv, C, ncoeff,
 
 def composite_positions_fused(slices, ybasis, norm, geom, statics, Pn, Qn,
                               PB, Pb, occupancy):
-    """Run the FUSED (v3) composite kernel: raw position slices in, composited
-    state out — no t1 intermediate. slices [NP, nu, C, nv] bf16 (consumed as
-    the free [NP, nu, C*nv] view), occupancy = (cell_live [PB, QB, NP],
-    pos_needed [PB, QB, NP], pos_any [PB, NP]) from gnomonic_occupancy_lite.
-    Requires statics.qb > 0 (the q-split grid)."""
-    NP, nu = slices.shape[0], slices.shape[1]
+    """Run the FUSED (v3) composite kernel: raw VERTEX slices in, composited
+    state out — no t1 intermediate, no interior-position materialization.
+    slices [nvert, nu, C, nv] bf16 (consumed as the free [nvert, nu, C*nv]
+    view; interior quadrature positions are lerped in VMEM), occupancy =
+    (cell_live [PB, QB, NP], pos_needed [PB, QB, NP], pos_any [PB, NP]) from
+    gnomonic_occupancy_lite. Requires statics.qb > 0 (the q-split grid)."""
+    nvert, nu = slices.shape[0], slices.shape[1]
     nv = slices.shape[3]
+    NP = _num_positions(statics)
+    P = statics.pos_per_cell
     C = _padded_channels(statics)
     QB, Qb = _qb_blocks(statics, Qn)
     cell_live, pos_needed, pos_any = occupancy
     kernel, SROWS, PROWS = _make_composite_kernel_fused(
         NP, Pb, Qb, QB, nu, nv, C, statics.ncoeff, statics.relu_sigma,
-        statics.with_diffuse, statics.exit_eps,
+        statics.with_diffuse, statics.exit_eps, P,
     )
-    slices2d = slices.reshape(NP, nu, C * nv)
+    ia, ib = _vertex_index_maps(P, nvert)
+    slices2d = slices.reshape(nvert, nu, C * nv)
     yb_q = jnp.transpose(
         ybasis.reshape(statics.ncoeff, Pn, QB, Qb), (2, 0, 1, 3)
     )
@@ -830,7 +884,8 @@ def composite_positions_fused(slices, ybasis, norm, geom, statics, Pn, Qn,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((PB, NP), lambda pb, t, qb: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nu, C * nv), lambda pb, t, qb: (t, 0, 0)),
+            pl.BlockSpec((1, nu, C * nv), lambda pb, t, qb: (ia(t), 0, 0)),
+            pl.BlockSpec((1, nu, C * nv), lambda pb, t, qb: (ib(t), 0, 0)),
             pl.BlockSpec((QB, statics.ncoeff, Pb, Qb),
                          lambda pb, t, qb: (0, 0, pb, 0)),
             pl.BlockSpec((QB, Pb, Qb), lambda pb, t, qb: (0, pb, 0)),
@@ -847,7 +902,7 @@ def composite_positions_fused(slices, ybasis, norm, geom, statics, Pn, Qn,
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=statics.interpret,
-    )(geom, cell_live, pos_needed, pos_any, slices2d, yb_q, norm_q)
+    )(geom, cell_live, pos_needed, pos_any, slices2d, slices2d, yb_q, norm_q)
     return jnp.transpose(out, (1, 2, 0, 3)).reshape(SROWS, Pn, Qn)
 
 
@@ -1006,6 +1061,15 @@ def _use_fused_composite(statics: GnomonicStatics, nv: int) -> bool:
     multiple; interpret mode has no such constraint. Production grids
     (128^3+) qualify; small coarse stages fall back to the v2 path."""
     return statics.qb > 0 and (nv % 128 == 0 or statics.interpret)
+
+
+def use_fused_composite(statics: GnomonicStatics) -> bool:
+    """Caller-side fused-path predicate (statics only — nv is the grid's
+    v-axis extent). Callers MUST repack with ``vertex_only=`` this value:
+    the fused kernels consume the vertex stack, the v2 path the full
+    interleaved position stack."""
+    _, v_ax = _uv_axes(statics.axis)
+    return _use_fused_composite(statics, statics.dims[v_ax])
 
 
 @partial(jax.jit, static_argnames=("statics", "height", "width", "supersample"))
@@ -1296,7 +1360,7 @@ def effective_supersample(config_ss: float, statics: GnomonicStatics,
     floor = _TEXELS_PER_VOXEL_FLOOR * nmax / max(1, min(height, width))
     return float(max(config_ss, min(_SUPERSAMPLE_CAP, floor)))
 
-_repack_jit = jax.jit(repack_position_slices, static_argnums=(1,))
+_repack_jit = jax.jit(repack_position_slices, static_argnums=(1, 2, 3))
 
 
 def render_image_gnomonic(
@@ -1336,8 +1400,9 @@ def render_image_gnomonic(
         statics, int(camera_intrinsics.height), int(camera_intrinsics.width),
     )
 
+    vertex = use_fused_composite(statics)
     slices = None
-    cache_key = ("gnomonic", axis, flip, statics.pos_per_cell)
+    cache_key = ("gnomonic", axis, flip, statics.pos_per_cell, vertex)
     if cache is not None:
         entry = cache.get(cache_key)
         if (
@@ -1347,7 +1412,7 @@ def render_image_gnomonic(
         ):
             slices = entry[2]
     if slices is None:
-        slices = _repack_jit(voxel_grid, statics)
+        slices = _repack_jit(voxel_grid, statics, True, vertex)
         if cache is not None:
             cache[cache_key] = (voxel_grid.densities, voxel_grid.features, slices)
 
@@ -1473,8 +1538,9 @@ def render_poses_gnomonic(
             float(getattr(config, "gnomonic_supersample", DEFAULT_SUPERSAMPLE)),
             statics, height, width,
         )
+        vertex = use_fused_composite(statics)
         slices = None
-        cache_key = ("gnomonic", axis, flip, statics.pos_per_cell)
+        cache_key = ("gnomonic", axis, flip, statics.pos_per_cell, vertex)
         if cache is not None:
             entry = cache.get(cache_key)
             if (
@@ -1484,7 +1550,7 @@ def render_poses_gnomonic(
             ):
                 slices = entry[2]
         if slices is None:
-            slices = _repack_jit(voxel_grid, statics)
+            slices = _repack_jit(voxel_grid, statics, True, vertex)
             if cache is not None:
                 cache[cache_key] = (
                     voxel_grid.densities, voxel_grid.features, slices

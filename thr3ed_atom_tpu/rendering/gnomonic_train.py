@@ -46,6 +46,8 @@ from thr3ed_atom_tpu.rendering.gnomonic import (
     _padded_channels,
     _sprows,
     _num_positions,
+    _mix_vertex_slices,
+    _vertex_index_maps,
     composite_positions,
     frame_rounding,
     gnomonic_geometry,
@@ -683,7 +685,7 @@ def _composite_backward(t1, rvt, ybasis, live_u, live_v, norm, geom, gaux,
 
 
 def _make_backward_kernel_fused(NP, Pb, Qb, QB, PB, nu, nv, C, ncoeff,
-                                relu_sigma, with_diffuse):
+                                relu_sigma, with_diffuse, P):
     """FUSED replay VJP: raw position slices in, dslices out — neither the t1
     values tensor nor its dt1 cotangent ever exist in HBM (the training-path
     port of gnomonic._make_composite_kernel_fused; round-4 deleted the same
@@ -708,9 +710,9 @@ def _make_backward_kernel_fused(NP, Pb, Qb, QB, PB, nu, nv, C, ncoeff,
     LROW = PROWS - 1
     NDM = PROWS - 1  # pending rows: dsig + drgb*3 (+ ddif*3)
 
-    def kernel(geom_ref, cl_ref, pn_ref, pa_ref, sl_ref, yb_ref, norm_ref,
-               gaux_ref, dsl_ref, prev_ref, pend_ref, carry_ref, t1m_ref,
-               dt1_ref, dflat_ref, dslacc_ref):
+    def kernel(geom_ref, cl_ref, pn_ref, pa_ref, sl_a_ref, sl_b_ref, yb_ref,
+               norm_ref, gaux_ref, dsl_ref, prev_ref, pend_ref, carry_ref,
+               t1m_ref, dt1_ref, dflat_ref, dslacc_ref):
         j = pl.program_id(0)
         pb = pl.program_id(1)
         qb = pl.program_id(2)
@@ -737,15 +739,19 @@ def _make_backward_kernel_fused(NP, Pb, Qb, QB, PB, nu, nv, C, ncoeff,
         bv = geom_ref[jc, 4]
         kv = geom_ref[jc, 5]
 
-        # ---- u-resample position jc's slice once (at the first q-block)
+        # ---- u-resample position jc's slice once (at the first q-block);
+        # the slice is the in-VMEM lerp of its two VERTEX blocks — the same
+        # _mix_vertex_slices the fused forward runs, so replay values are
+        # bit-identical
         @pl.when((qb == 0) & (pa_ref[pb, jc] > 0))
         def _():
+            sl = _mix_vertex_slices(sl_a_ref, sl_b_ref, jc, P)
             p_io = jax.lax.broadcasted_iota(jnp.int32, (Pb, nu), 0)
             u_io = jax.lax.broadcasted_iota(jnp.int32, (Pb, nu), 1)
             U = bu + ku * (p_io + pb * Pb).astype(jnp.float32)
             w_u = jnp.maximum(0.0, 1.0 - jnp.abs(U - u_io.astype(jnp.float32)))
             t1v = jnp.dot(
-                w_u.astype(jnp.bfloat16), sl_ref[0],
+                w_u.astype(jnp.bfloat16), sl,
                 preferred_element_type=jnp.float32,
             )  # [Pb, C*nv]
             for c in range(C):
@@ -955,23 +961,28 @@ def _make_backward_kernel_fused(NP, Pb, Qb, QB, PB, nu, nv, C, ncoeff,
 
 def _composite_backward_fused(slices, ybasis, norm, geom, gaux, occupancy,
                               statics, Pn, Qn, PB, Pb):
-    """Run the fused replay VJP: [NP, nu, C, nv] bf16 dslices out (see
-    _make_backward_kernel_fused). ``occupancy`` is the 3-tuple from
+    """Run the fused replay VJP: [NP, nu, C, nv] bf16 PER-POSITION dslices out
+    (see _make_backward_kernel_fused). ``slices`` is the VERTEX stack
+    [nvert, nu, C, nv] — interior quadrature positions are lerped in VMEM,
+    mirroring the fused forward; the position->vertex cotangent reduction
+    happens in XLA in _cpf_bwd. ``occupancy`` is the 3-tuple from
     gnomonic_occupancy_lite."""
     from thr3ed_atom_tpu.rendering.gnomonic import _qb_blocks
 
     QB, Qb = _qb_blocks(statics, Qn)
     cell_live, pos_needed, pos_any = occupancy
-    NP, nu = slices.shape[0], slices.shape[1]
+    nvert, nu = slices.shape[0], slices.shape[1]
     nv = slices.shape[3]
+    NP = _num_positions(statics)
+    P = statics.pos_per_cell
     C = _padded_channels(statics)
     kernel, SROWS, PROWS = _make_backward_kernel_fused(
         NP, Pb, Qb, QB, PB, nu, nv, C, statics.ncoeff, statics.relu_sigma,
-        statics.with_diffuse,
+        statics.with_diffuse, P,
     )
     NDM = PROWS - 1
-    last = NP - 1
-    slices2d = slices.reshape(NP, nu, C * nv)
+    ia, ib = _vertex_index_maps(P, nvert)
+    slices2d = slices.reshape(nvert, nu, C * nv)
     # every Pn/Qn-wide operand reorganizes to [PB, QB, ..., Pb, Qb] so all
     # in-kernel accesses are leading-dim indices on VMEM-resident blocks
     yb_pq = jnp.transpose(
@@ -994,7 +1005,9 @@ def _composite_backward_fused(slices, ybasis, norm, geom, gaux, occupancy,
             pl.BlockSpec((PB, NP), lambda t, pb, qb: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, nu, C * nv),
-                         lambda t, pb, qb: (jnp.minimum(t, last), 0, 0)),
+                         lambda t, pb, qb: (ia(t), 0, 0)),
+            pl.BlockSpec((1, nu, C * nv),
+                         lambda t, pb, qb: (ib(t), 0, 0)),
             pl.BlockSpec((PB, QB, statics.ncoeff, Pb, Qb),
                          lambda t, pb, qb: (0, 0, 0, 0, 0)),
             pl.BlockSpec((PB, QB, Pb, Qb), lambda t, pb, qb: (0, 0, 0, 0)),
@@ -1018,7 +1031,8 @@ def _composite_backward_fused(slices, ybasis, norm, geom, gaux, occupancy,
             vmem_limit_bytes=128 * 1024 * 1024
         ),
         interpret=statics.interpret,
-    )(geom, cell_live, pos_needed, pos_any, slices2d, yb_pq, norm_pq, gaux_pq)
+    )(geom, cell_live, pos_needed, pos_any, slices2d, slices2d, yb_pq,
+      norm_pq, gaux_pq)
     return dsl.reshape(NP, nu, C, nv)
 
 
@@ -1053,10 +1067,30 @@ def _cpf_bwd(statics, Pn, Qn, PB, Pb, res, gstate):
     (slices, ybasis, norm, geom, cell_live, pos_needed, pos_any, state) = res
     S_total = jnp.sum(gstate[1:] * state[1:], axis=0)
     gaux = jnp.concatenate([gstate, S_total[None], state[0:1]], axis=0)
-    dslices = _composite_backward_fused(
+    dpos = _composite_backward_fused(
         slices, ybasis, norm, geom, gaux, (cell_live, pos_needed, pos_any),
         statics, Pn, Qn, PB, Pb,
     )
+    P = statics.pos_per_cell
+    if P == 1:
+        dslices = dpos
+    else:
+        # position -> vertex cotangent fold: position j = (1-f)*vert[j//P] +
+        # f*vert[min(j//P+1, nvert-1)] with f = (j%P)/P, so dvert = W @ dpos
+        # with the transposed lerp weights (2 nonzeros per column; every f is
+        # a power-of-two multiple for P in {2,4,8}, so bf16 W is exact). One
+        # MXU pass over the per-position cotangent, f32 accumulate.
+        nvert = slices.shape[0]
+        NP = dpos.shape[0]
+        idx = np.arange(NP)
+        f = (idx % P).astype(np.float32) / P
+        W = np.zeros((nvert, NP), np.float32)
+        np.add.at(W, (idx // P, idx), 1.0 - f)
+        np.add.at(W, (np.minimum(idx // P + 1, nvert - 1), idx), f)
+        dslices = jnp.einsum(
+            "vj,jucw->vucw", jnp.asarray(W, jnp.bfloat16), dpos,
+            preferred_element_type=jnp.float32,
+        ).astype(slices.dtype)
     z = jnp.zeros_like
     return (dslices, z(ybasis), z(norm), z(geom), z(cell_live),
             z(pos_needed), z(pos_any))
@@ -1206,7 +1240,12 @@ def render_pose_from_slices(slices, rotation, origin, focal,
     """Differentiable whole-pose render from already-repacked position slices
     (bf16 or f32 — f32 inputs are cast to bf16 here, bit-identical to the
     repack rounding its own output). The multi-pose train step hoists one
-    repack out of its pose scan and calls this per pose."""
+    repack out of its pose scan and calls this per pose.
+
+    Contract: ``slices`` must be repacked with ``vertex_only=tstat.fused`` —
+    the fused (v3) pipeline consumes the VERTEX stack and lerps interior
+    quadrature positions in VMEM; the v2 pipeline consumes the full
+    interleaved position stack."""
     statics = tstat.statics
     Pn, Qn, PB, Pb = tstat.frame
     phase = None
@@ -1272,7 +1311,8 @@ def render_pose_diff(voxel_grid: VoxelGrid, rotation, origin, focal,
     per-step sub-texel phase jitter of the resample frame (unbiased — the
     warp compensates exactly; the gnomonic analogue of the reference's
     perturb_sampled_points)."""
-    slices = repack_position_slices(voxel_grid, tstat.statics)
+    slices = repack_position_slices(voxel_grid, tstat.statics,
+                                    vertex_only=tstat.fused)
     return render_pose_from_slices(slices, rotation, origin, focal, tstat,
                                    key=key)
 
@@ -1308,7 +1348,8 @@ def _pose_loss_from_slices(tstat: GnomonicTrainStatics, slices, image,
 def _pose_loss(tstat: GnomonicTrainStatics, g: VoxelGrid, image, rotation,
                origin, focal, key=None):
     """Whole-pose objective on the grid (repack + _pose_loss_from_slices)."""
-    slices = repack_position_slices(g, tstat.statics)
+    slices = repack_position_slices(g, tstat.statics,
+                                    vertex_only=tstat.fused)
     return _pose_loss_from_slices(tstat, slices, image, rotation, origin,
                                   focal, key)
 
@@ -1386,7 +1427,8 @@ def _multi_pose_grads(tstat: GnomonicTrainStatics, grid, images, rotations,
     k = images.shape[0]
     slices_f32, repack_vjp = jax.vjp(
         lambda g: repack_position_slices(g, tstat.statics,
-                                         round_output=False),
+                                         round_output=False,
+                                         vertex_only=tstat.fused),
         grid,
     )
     big = slices_f32.size * slices_f32.dtype.itemsize > _BF16_SLICES_BYTES
