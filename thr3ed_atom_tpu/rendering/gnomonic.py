@@ -43,8 +43,15 @@ Measured (v5e, 128^3 grid, 400x400): 10.3 ms/pose at P=1 (15.6M rays/s),
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
+
+# Cost-attribution hook for experiments/probe_composite_cost.py --variants:
+# "notrans" replaces exp/sigmoid with cheap affine stand-ins, "nofold" drops
+# the SH fold's per-channel v-dots, "nou" compiles out the u-resample.
+# Numerically WRONG outputs — timing probes only; unset in production/tests.
+_KPROF = os.environ.get("GN_KERNEL_PROFILE", "")
 
 import jax
 import jax.numpy as jnp
@@ -726,9 +733,11 @@ def _make_composite_kernel_fused(NP, Pb, Qb, QB, nu, nv, C, ncoeff,
     positions are along-axis lerps — computed here instead of materialized by
     the repack), builds the u-tent block [Pb, nu] from the affine geom
     scalars (U = bu + ku*p), runs ONE [Pb, nu] @ [nu, C*nv] MXU pass, and
-    scatters the result into t1m scratch [C*Pb, nv] (32 static lane->sublane
-    block moves). Each qb step then builds its v-tents [nv, Qb] in-kernel and
-    proceeds exactly like _make_composite_kernel_qb. Wins vs v2: the [NP, C,
+    stores the raw [Pb, C*nv] result in t1m scratch. Each qb step then builds
+    its v-tents [nv, Qb] in-kernel and v-resamples per USED channel with
+    vreg-column-aligned [Pb, nv] @ [nv, Qb] dots (the pad channels and the
+    former 32-block lane->sublane scatter are gone — round-5). Wins vs v2:
+    the [NP, C,
     Pn, nv] t1 tensor never exists in HBM (~1 GB/pose round trip at 128^3 /
     400px), the u-resample work is occupancy-skipped per position, and the
     Ru/RvT/live geometry tensors (~130 MB of XLA build+write+read per pose)
@@ -754,21 +763,21 @@ def _make_composite_kernel_fused(NP, Pb, Qb, QB, nu, nv, C, ncoeff,
         kv = geom_ref[j, 5]
 
         # ---- u-resample this position's slice once (at the first q-block)
-        @pl.when((qb == 0) & (pa_ref[pb, j] > 0))
+        @pl.when((qb == 0) & (pa_ref[pb, j] > 0) & (_KPROF != "nou"))
         def _():
             sl = _mix_vertex_slices(sl_a_ref, sl_b_ref, j, P)
             p_io = jax.lax.broadcasted_iota(jnp.int32, (Pb, nu), 0)
             u_io = jax.lax.broadcasted_iota(jnp.int32, (Pb, nu), 1)
             U = bu + ku * (p_io + pb * Pb).astype(jnp.float32)
             w_u = jnp.maximum(0.0, 1.0 - jnp.abs(U - u_io.astype(jnp.float32)))
-            t1v = jnp.dot(
+            # store the raw [Pb, C*nv] result — the v-step slices per-channel
+            # vreg-column-aligned blocks out of it, so the former 32
+            # lane->sublane scatter copies (12 MB of VMEM moves per position)
+            # are gone entirely
+            t1m_ref[...] = jnp.dot(
                 w_u.astype(jnp.bfloat16), sl,
                 preferred_element_type=jnp.float32,
-            )  # [Pb, C*nv]
-            for c in range(C):
-                t1m_ref[c * Pb:(c + 1) * Pb, :] = (
-                    t1v[:, c * nv:(c + 1) * nv].astype(jnp.bfloat16)
-                )
+            ).astype(jnp.bfloat16)  # [Pb, C*nv]
 
         work = pn_ref[pb, qb, j] > 0
         if exit_eps > 0.0:
@@ -781,10 +790,20 @@ def _make_composite_kernel_fused(NP, Pb, Qb, QB, nu, nv, C, ncoeff,
             v_io = jax.lax.broadcasted_iota(jnp.int32, (nv, Qb), 0)
             V = bv + kv * (q_io + qb * Qb).astype(jnp.float32)
             w_v = jnp.maximum(0.0, 1.0 - jnp.abs(V - v_io.astype(jnp.float32)))
-            vals = jnp.dot(
-                t1m_ref[...], w_v.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )  # [C*Pb, Qb]
+            w_vb = w_v.astype(jnp.bfloat16)
+            ch_cache = {}
+
+            def ch_val(c):
+                # per-channel v-resample [Pb, nv] @ [nv, Qb]; the 128-lane
+                # slices are whole vreg columns (no relayout), and the C - 28
+                # pad channels are never dotted at all
+                if c not in ch_cache:
+                    ch_cache[c] = jnp.dot(
+                        t1m_ref[:, c * nv:(c + 1) * nv], w_vb,
+                        preferred_element_type=jnp.float32,
+                    )
+                return ch_cache[c]
+
             pq_p = jax.lax.broadcasted_iota(jnp.int32, (Pb, Qb), 0)
             pq_q = jax.lax.broadcasted_iota(jnp.int32, (Pb, Qb), 1)
             Up = bu + ku * (pq_p + pb * Pb).astype(jnp.float32)
@@ -793,18 +812,18 @@ def _make_composite_kernel_fused(NP, Pb, Qb, QB, nu, nv, C, ncoeff,
                 (Up >= -0.5) & (Up <= nu - 0.5) & (s_j > 0.0)
                 & (Vq >= -0.5) & (Vq <= nv - 0.5)
             ).astype(jnp.float32)
-            sig = vals[3 * ncoeff * Pb:(3 * ncoeff + 1) * Pb, :]
+            sig = ch_val(3 * ncoeff)
 
             def fold(colour, coeffs):
-                acc = yb_ref[qb, 0] * vals[
-                    (colour * ncoeff) * Pb:(colour * ncoeff + 1) * Pb
-                ]
+                acc = yb_ref[qb, 0] * ch_val(colour * ncoeff)
                 for k in range(1, coeffs):
-                    ch = colour * ncoeff + k
-                    acc += yb_ref[qb, k] * vals[ch * Pb:(ch + 1) * Pb]
+                    acc += yb_ref[qb, k] * ch_val(colour * ncoeff + k)
                 return acc
 
-            rgb = [fold(c, ncoeff) for c in range(3)]
+            if _KPROF == "nofold":
+                rgb = [sig, sig, sig]
+            else:
+                rgb = [fold(c, ncoeff) for c in range(3)]
             if with_diffuse:
                 dif = [fold(c, 1) for c in range(3)]
 
@@ -815,7 +834,12 @@ def _make_composite_kernel_fused(NP, Pb, Qb, QB, nu, nv, C, ncoeff,
                 integ = integ * (prev_ref[qb, LROW] * livem)
                 cell_step = geom_ref[j, 1]
                 delta = cell_step * norm_ref[qb]
-                alpha = 1.0 - jnp.exp(-integ * delta)
+                if _KPROF == "notrans":
+                    alpha = jnp.clip(integ * delta, 0.0, 1.0)
+                    tone = lambda x: x * 0.25 + 0.5  # noqa: E731
+                else:
+                    alpha = 1.0 - jnp.exp(-integ * delta)
+                    tone = jax.nn.sigmoid
                 T = state_ref[qb, 0]
                 w = alpha * T
                 s_b = geom_ref[j, 0]
@@ -823,13 +847,13 @@ def _make_composite_kernel_fused(NP, Pb, Qb, QB, nu, nv, C, ncoeff,
                 tb1 = 1.0 - tbar
                 for c in range(3):
                     mraw = tb1 * prev_ref[qb, 1 + c] + tbar * rgb[c]
-                    state_ref[qb, 1 + c] += jax.nn.sigmoid(mraw) * w
+                    state_ref[qb, 1 + c] += tone(mraw) * w
                 state_ref[qb, 4] += w
                 state_ref[qb, 5] += w * s_mid
                 if with_diffuse:
                     for c in range(3):
                         mraw = tb1 * prev_ref[qb, 4 + c] + tbar * dif[c]
-                        state_ref[qb, 6 + c] += jax.nn.sigmoid(mraw) * w
+                        state_ref[qb, 6 + c] += tone(mraw) * w
                 state_ref[qb, 0] = T * (1.0 - alpha)
 
             prev_ref[qb, 0] = sig
@@ -896,7 +920,7 @@ def composite_positions_fused(slices, ybasis, norm, geom, statics, Pn, Qn,
         scratch_shapes=[
             pltpu.VMEM((QB, PROWS, Pb, Qb), jnp.float32),
             pltpu.VMEM((QB, SROWS, Pb, Qb), jnp.float32),
-            pltpu.VMEM((C * Pb, nv), jnp.bfloat16),
+            pltpu.VMEM((Pb, C * nv), jnp.bfloat16),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024

@@ -133,8 +133,7 @@ def _fused_train_blocking(Pn_raw: int, Qn: int, nu: int, nv: int, C: int,
         per_pb = (
             2 * C * Pb * nv  # t1m (replayed position values, bf16)
             + 4 * C * Pb * nv  # dt1 f32 accumulator
-            + 2 * Pb * C * nv  # dflat reorganized dt1 (bf16)
-            + (4 + 2) * C * Pb * Qb  # vals f32 + dvals bf16 temporaries
+            + (4 + 2) * C * Pb * Qb  # per-channel vals/dvals temporaries
         )
         est = (
             frame_resident
@@ -712,7 +711,7 @@ def _make_backward_kernel_fused(NP, Pb, Qb, QB, PB, nu, nv, C, ncoeff,
 
     def kernel(geom_ref, cl_ref, pn_ref, pa_ref, sl_a_ref, sl_b_ref, yb_ref,
                norm_ref, gaux_ref, dsl_ref, prev_ref, pend_ref, carry_ref,
-               t1m_ref, dt1_ref, dflat_ref, dslacc_ref):
+               t1m_ref, dt1_ref, dslacc_ref):
         j = pl.program_id(0)
         pb = pl.program_id(1)
         qb = pl.program_id(2)
@@ -750,14 +749,13 @@ def _make_backward_kernel_fused(NP, Pb, Qb, QB, PB, nu, nv, C, ncoeff,
             u_io = jax.lax.broadcasted_iota(jnp.int32, (Pb, nu), 1)
             U = bu + ku * (p_io + pb * Pb).astype(jnp.float32)
             w_u = jnp.maximum(0.0, 1.0 - jnp.abs(U - u_io.astype(jnp.float32)))
-            t1v = jnp.dot(
+            # store the raw [Pb, C*nv] result — all downstream consumers
+            # slice vreg-column-aligned per-channel blocks (round-5: the 32
+            # lane->sublane scatter copies are gone, matching the forward)
+            t1m_ref[...] = jnp.dot(
                 w_u.astype(jnp.bfloat16), sl,
                 preferred_element_type=jnp.float32,
-            )  # [Pb, C*nv]
-            for c in range(C):
-                t1m_ref[c * Pb:(c + 1) * Pb, :] = (
-                    t1v[:, c * nv:(c + 1) * nv].astype(jnp.bfloat16)
-                )
+            ).astype(jnp.bfloat16)  # [Pb, C*nv]
 
         live_replay = pn_ref[pb, qb, jc] > 0
         live_out = (j > 0) & (pn_ref[pb, qb, jp] > 0)
@@ -777,13 +775,10 @@ def _make_backward_kernel_fused(NP, Pb, Qb, QB, PB, nu, nv, C, ncoeff,
 
         # ---- fold this u-block's completed dt1[j-1] into the dslices
         # accumulator through position j-1's u-tents (transposed build: the
-        # [nu, Pb] orientation avoids any in-kernel transpose)
+        # [nu, Pb] orientation avoids any in-kernel transpose; dt1 is already
+        # [Pb, C*nv], so the former dflat re-layout pass is gone)
         @pl.when((qb == QB - 1) & (j > 0) & (pa_ref[pb, jp] > 0))
         def _():
-            for c in range(C):
-                dflat_ref[:, c * nv:(c + 1) * nv] = (
-                    dt1_ref[c * Pb:(c + 1) * Pb, :].astype(jnp.bfloat16)
-                )
             u_io = jax.lax.broadcasted_iota(jnp.int32, (nu, Pb), 0)
             p_io = jax.lax.broadcasted_iota(jnp.int32, (nu, Pb), 1)
             Up = geom_ref[jp, 2] + geom_ref[jp, 3] * (
@@ -793,7 +788,7 @@ def _make_backward_kernel_fused(NP, Pb, Qb, QB, PB, nu, nv, C, ncoeff,
                 0.0, 1.0 - jnp.abs(Up - u_io.astype(jnp.float32))
             )
             dslacc_ref[...] += jnp.dot(
-                w_uT.astype(jnp.bfloat16), dflat_ref[...],
+                w_uT.astype(jnp.bfloat16), dt1_ref[...].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )  # [nu, C*nv]
 
@@ -810,10 +805,19 @@ def _make_backward_kernel_fused(NP, Pb, Qb, QB, PB, nu, nv, C, ncoeff,
         v_io = jax.lax.broadcasted_iota(jnp.int32, (nv, Qb), 0)
         V = bv + kv * (q_io + qb * Qb).astype(jnp.float32)
         w_v = jnp.maximum(0.0, 1.0 - jnp.abs(V - v_io.astype(jnp.float32)))
-        vals = jnp.dot(
-            t1m_ref[...], w_v.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )  # [C*Pb, Qb]
+        w_vb = w_v.astype(jnp.bfloat16)
+        ch_cache = {}
+
+        def ch_val(c):
+            # per-channel v-resample [Pb, nv] @ [nv, Qb] on vreg-column-
+            # aligned slices of the [Pb, C*nv] t1m (pad channels never dot)
+            if c not in ch_cache:
+                ch_cache[c] = jnp.dot(
+                    t1m_ref[:, c * nv:(c + 1) * nv], w_vb,
+                    preferred_element_type=jnp.float32,
+                )
+            return ch_cache[c]
+
         pq_p = jax.lax.broadcasted_iota(jnp.int32, (Pb, Qb), 0)
         pq_q = jax.lax.broadcasted_iota(jnp.int32, (Pb, Qb), 1)
         Up_l = bu + ku * (pq_p + pb * Pb).astype(jnp.float32)
@@ -822,15 +826,12 @@ def _make_backward_kernel_fused(NP, Pb, Qb, QB, PB, nu, nv, C, ncoeff,
             (Up_l >= -0.5) & (Up_l <= nu - 0.5) & (s_j > 0.0)
             & (Vq_l >= -0.5) & (Vq_l <= nv - 0.5)
         ).astype(jnp.float32)
-        sig = vals[3 * ncoeff * Pb:(3 * ncoeff + 1) * Pb, :]
+        sig = ch_val(3 * ncoeff)
 
         def fold(colour, coeffs):
-            acc = yb_ref[pb, qb, 0] * vals[
-                (colour * ncoeff) * Pb:(colour * ncoeff + 1) * Pb
-            ]
+            acc = yb_ref[pb, qb, 0] * ch_val(colour * ncoeff)
             for k in range(1, coeffs):
-                ch = colour * ncoeff + k
-                acc += yb_ref[pb, qb, k] * vals[ch * Pb:(ch + 1) * Pb]
+                acc += yb_ref[pb, qb, k] * ch_val(colour * ncoeff + k)
             return acc
 
         rgb = [fold(c, ncoeff) for c in range(3)]
@@ -910,19 +911,6 @@ def _make_backward_kernel_fused(NP, Pb, Qb, QB, PB, nu, nv, C, ncoeff,
                     pend_ref[pb, qb, 4 + c] + m(tb1 * ddmraws[c])
                     for c in range(3)
                 ]
-            blocks = []
-            for ch in range(C):
-                if ch < 3 * ncoeff:
-                    c, k = divmod(ch, ncoeff)
-                    blk = yb_ref[pb, qb, k] * drgb_prev[c]
-                    if with_diffuse and k == 0:
-                        blk = blk + yb_ref[pb, qb, 0] * ddif_prev[c]
-                elif ch == 3 * ncoeff:
-                    blk = dsig_prev
-                else:
-                    blk = jnp.zeros((Pb, Qb), jnp.float32)
-                blocks.append(blk)
-            dvals = jnp.concatenate(blocks, axis=0)  # [C*Pb, Qb]
             jpp = jnp.maximum(j - 1, 0)
             q_io2 = jax.lax.broadcasted_iota(jnp.int32, (Qb, nv), 0)
             v_io2 = jax.lax.broadcasted_iota(jnp.int32, (Qb, nv), 1)
@@ -931,11 +919,22 @@ def _make_backward_kernel_fused(NP, Pb, Qb, QB, PB, nu, nv, C, ncoeff,
             ).astype(jnp.float32)
             w_vp = jnp.maximum(
                 0.0, 1.0 - jnp.abs(Vp - v_io2.astype(jnp.float32))
-            )
-            dt1_ref[...] += jnp.dot(
-                dvals.astype(jnp.bfloat16), w_vp.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )  # [C*Pb, nv]
+            ).astype(jnp.bfloat16)
+            # per-channel dvals -> dt1 fold on the [Pb, C*nv] layout; the
+            # C - (3*ncoeff + 1) pad channels never existed as blocks here
+            # (their dt1 columns stay at the qb==0 zero-fill)
+            for ch in range(3 * ncoeff + 1):
+                if ch < 3 * ncoeff:
+                    c, k = divmod(ch, ncoeff)
+                    blk = yb_ref[pb, qb, k] * drgb_prev[c]
+                    if with_diffuse and k == 0:
+                        blk = blk + yb_ref[pb, qb, 0] * ddif_prev[c]
+                else:
+                    blk = dsig_prev
+                dt1_ref[:, ch * nv:(ch + 1) * nv] += jnp.dot(
+                    blk.astype(jnp.bfloat16), w_vp,
+                    preferred_element_type=jnp.float32,
+                )  # [Pb, nv]
 
         # ---- roll pending to this position's b-side; advance carries
         pend_ref[pb, qb, 0] = d_b
@@ -1022,9 +1021,8 @@ def _composite_backward_fused(slices, ybasis, norm, geom, gaux, occupancy,
             pltpu.VMEM((PB, QB, PROWS, Pb, Qb), jnp.float32),
             pltpu.VMEM((PB, QB, NDM, Pb, Qb), jnp.float32),
             pltpu.VMEM((PB, QB, 2, Pb, Qb), jnp.float32),
-            pltpu.VMEM((C * Pb, nv), jnp.bfloat16),
-            pltpu.VMEM((C * Pb, nv), jnp.float32),
             pltpu.VMEM((Pb, C * nv), jnp.bfloat16),
+            pltpu.VMEM((Pb, C * nv), jnp.float32),
             pltpu.VMEM((nu, C * nv), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
