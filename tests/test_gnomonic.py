@@ -202,7 +202,11 @@ def test_bicubic_warp_beats_bilinear_on_smooth_scene(key):
     quality ceiling (~79 dB at production scale with bilinear)."""
     # smooth scene: blur the random grid so the composited field is dominated
     # by low frequencies (where the cubic's higher-order accuracy shows)
-    grid = _make_grid(key, post="relu")
+    # 48^3 (not the default 12^3): the round-5 128-texel frame floor makes a
+    # 12-voxel scene ~10.7 texels/voxel — over-resolved to the point where
+    # every warp order reconstructs it; 48^3 keeps detail at the ~2.7
+    # texels/voxel scale the warp orders actually differ at
+    grid = _make_grid(key, size=48, post="relu")
     k = jnp.ones((3, 3, 3)) / 27.0
 
     def blur(a):
@@ -222,8 +226,12 @@ def test_bicubic_warp_beats_bilinear_on_smooth_scene(key):
         grid, densities=blur(grid.densities), features=blur(grid.features)
     )
     pose = pose_spherical(200.0, -30.0, 3.5)
-    H = W = 40
-    intr = CameraIntrinsics(H, W, 44.0)
+    # 100 px: with the round-5 128-mult frame rounding, a 40 px image gets a
+    # 128-texel frame (3.2 texels/pixel) where ANY warp order reconstructs
+    # well; 100 px restores the production-like ~1.3 texels/pixel ratio the
+    # warp-order difference exists at
+    H = W = 100
+    intr = CameraIntrinsics(H, W, 110.0)
     rotation = np.asarray(pose.rotation).reshape(3, 3)
     origin = np.asarray(pose.translation).reshape(3)
     axis, flip = dominant_axis_for_pose(rotation)
@@ -231,7 +239,7 @@ def test_bicubic_warp_beats_bilinear_on_smooth_scene(key):
     py = np.arange(H) + 0.5
     gx, gy = np.meshgrid(px, py, indexing="xy")
     dcam = np.stack(
-        [(gx - W / 2) / 44.0, -(gy - H / 2) / 44.0, -np.ones_like(gx)], -1
+        [(gx - W / 2) / 110.0, -(gy - H / 2) / 110.0, -np.ones_like(gx)], -1
     )
     dirs = (dcam @ rotation.T).reshape(-1, 3).astype(np.float32)
     oc, _, _, _ = _oracle_at_rays(
@@ -301,8 +309,13 @@ def test_occupancy_skip_and_early_exit_neutral(key):
         warp_impl="matmul",
         warp_swap=warp_swap_for_pose(rotation, axis, flip, 32, 32, 36.0),
     )
-    np.testing.assert_array_equal(
-        np.asarray(out_skip.colour), np.asarray(out_all.colour)
+    # to 1 ulp: out_skip runs through the jitted pipeline, out_all through
+    # eager stage calls — XLA:CPU fuses the two differently, which can
+    # reassociate float chains by an ulp at the round-5 128-mult frame. The
+    # skip rule itself is exact (both-endpoint-empty cells integrate to
+    # exactly zero in either program).
+    np.testing.assert_allclose(
+        np.asarray(out_skip.colour), np.asarray(out_all.colour), atol=5e-7
     )
 
     # a sanity check that the flags actually skip a large fraction
@@ -395,13 +408,17 @@ def test_render_poses_batched_matches_per_pose(key):
         grid, poses, intr, config, group_batch=2
     )
     assert batched.colour.shape == (len(poses), 24, 24, 3)
+    # tolerance: in CPU interpret mode the kernel body inlines into DIFFERENT
+    # fusion contexts under lax.map vs a standalone jit, which can
+    # reassociate float chains by ~1 ulp (measured 2e-6 on one pixel). On
+    # the chip both contexts run the same Mosaic executable.
     for i, pose in enumerate(poses):
         single = gn.render_image_gnomonic(grid, pose, intr, config)
         np.testing.assert_allclose(
-            np.asarray(batched.colour[i]), np.asarray(single.colour), atol=1e-6
+            np.asarray(batched.colour[i]), np.asarray(single.colour), atol=5e-6
         )
         np.testing.assert_allclose(
-            np.asarray(batched.depth[i]), np.asarray(single.depth), atol=1e-6
+            np.asarray(batched.depth[i]), np.asarray(single.depth), atol=5e-6
         )
     # the VolumetricModel dispatcher reaches the same path
     vm = VolumetricModel(

@@ -212,6 +212,15 @@ def gnomonic_frame(rotation: np.ndarray, height: int, width: int, focal: float,
     program serves every pose of an (axis, flip) variant."""
     del rotation, focal
     Pn_raw, Qn, nv, C = frame_rounding(height, width, supersample, statics)
+    if use_fused_composite(statics):
+        # FINE u-blocking (round-5): the fused kernel's grid is positions-
+        # outermost with a frame-resident state, so PB costs no extra slice
+        # DMA — and occupancy gating at Pb = 128 cuts the live fraction ~2x
+        # vs whole-stripe blocks at 128^3/400px (probe_composite_cost) while
+        # keeping every dot's M dimension a full MXU row tile
+        Pb = 128
+        PB = -(-Pn_raw // Pb)
+        return PB * Pb, Qn, PB, Pb
     PB, Pb, Pn = _p_blocking(Pn_raw, Qn, nv, C, statics.with_diffuse,
                              statics.ncoeff)
     return Pn, Qn, PB, Pb
@@ -219,11 +228,16 @@ def gnomonic_frame(rotation: np.ndarray, height: int, width: int, focal: float,
 
 def frame_rounding(height: int, width: int, supersample: float,
                    statics: GnomonicStatics):
-    """Shared texel-grid rounding rules (8-sublane u, 128-lane v) and channel
+    """Shared texel-grid rounding rules (128-mult u and v) and channel
     padding, used by both the render (_p_blocking) and train
     (gnomonic_train._p_blocking_train) frame planners — one copy so the two
-    pipelines can never desynchronize. Returns (Pn_raw, Qn, nv, C)."""
-    Pn_raw = -(-int(math.ceil(width * supersample)) // 8) * 8
+    pipelines can never desynchronize. Returns (Pn_raw, Qn, nv, C).
+
+    Pn rounds to 128 (round-5; was 8) so the fused kernel's fine Pb = 128
+    u-blocking divides the frame exactly AND every kernel variant (v2
+    stripe, q-split, fused) sees the SAME texel grid — the cross-kernel
+    image-identity tests rely on that. Margin texels are occupancy-dead."""
+    Pn_raw = -(-int(math.ceil(width * supersample)) // 128) * 128
     Qn = -(-int(math.ceil(height * supersample)) // 128) * 128
     _, v_ax = _uv_axes(statics.axis)
     nv = statics.dims[v_ax]
@@ -724,11 +738,19 @@ def _vertex_index_maps(P, nvert):
     return ia, ib
 
 
-def _make_composite_kernel_fused(NP, Pb, Qb, QB, nu, nv, C, ncoeff,
+def _make_composite_kernel_fused(NP, Pb, Qb, QB, PB, nu, nv, C, ncoeff,
                                  relu_sigma, with_diffuse, exit_eps, P):
     """v3: the u-resample matmul moves INSIDE the composite kernel.
 
-    grid=(PB, NP, QB). At qb == 0 of a needed position, the kernel lerps the
+    grid=(NP, PB, QB) — positions OUTERMOST (round-5 restructure, mirroring
+    the train backward): each vertex-slice block streams from HBM once per
+    position regardless of PB, and the march state + previous-position rows
+    live in frame-resident [PB, QB, rows, Pb, Qb] buffers. That makes FINE
+    u-blocking free, and fine blocking is the occupancy lever: at 128^3/400px
+    the live fraction drops from 73%/32% (pos_any/pos_needed at PB=1) to
+    26%/9% at Pb=64, nearly 3x less gated compute (probe_composite_cost).
+
+    At qb == 0 of a needed (position, u-block), the kernel lerps the
     position's slice from its two VERTEX slice blocks (interior quadrature
     positions are along-axis lerps — computed here instead of materialized by
     the repack), builds the u-tent block [Pb, nu] from the affine geom
@@ -737,24 +759,23 @@ def _make_composite_kernel_fused(NP, Pb, Qb, QB, nu, nv, C, ncoeff,
     its v-tents [nv, Qb] in-kernel and v-resamples per USED channel with
     vreg-column-aligned [Pb, nv] @ [nv, Qb] dots (the pad channels and the
     former 32-block lane->sublane scatter are gone — round-5). Wins vs v2:
-    the [NP, C,
-    Pn, nv] t1 tensor never exists in HBM (~1 GB/pose round trip at 128^3 /
-    400px), the u-resample work is occupancy-skipped per position, and the
-    Ru/RvT/live geometry tensors (~130 MB of XLA build+write+read per pose)
-    reduce to 4 scalars per position."""
+    the [NP, C, Pn, nv] t1 tensor never exists in HBM (~1 GB/pose round trip
+    at 128^3 / 400px), the u-resample work is occupancy-skipped per
+    (position, u-block), and the Ru/RvT/live geometry tensors (~130 MB of
+    XLA build+write+read per pose) reduce to 4 scalars per position."""
     SROWS, PROWS = _sprows(with_diffuse)
     LROW = PROWS - 1
 
     def kernel(geom_ref, cl_ref, pn_ref, pa_ref, sl_a_ref, sl_b_ref, yb_ref,
-               norm_ref, out_ref, prev_ref, state_ref, t1m_ref):
-        pb = pl.program_id(0)
-        j = pl.program_id(1)
+               norm_ref, out_ref, prev_ref, t1m_ref):
+        j = pl.program_id(0)
+        pb = pl.program_id(1)
         qb = pl.program_id(2)
 
         @pl.when(j == 0)
         def _():
-            state_ref[qb] = jnp.zeros((SROWS, Pb, Qb), jnp.float32)
-            state_ref[qb, 0] = jnp.ones((Pb, Qb), jnp.float32)
+            out_ref[pb, qb] = jnp.zeros((SROWS, Pb, Qb), jnp.float32)
+            out_ref[pb, qb, 0] = jnp.ones((Pb, Qb), jnp.float32)
 
         s_j = geom_ref[j, 0]
         bu = geom_ref[j, 2]
@@ -781,7 +802,7 @@ def _make_composite_kernel_fused(NP, Pb, Qb, QB, nu, nv, C, ncoeff,
 
         work = pn_ref[pb, qb, j] > 0
         if exit_eps > 0.0:
-            work = work & (jnp.max(state_ref[qb, 0]) > exit_eps)
+            work = work & (jnp.max(out_ref[pb, qb, 0]) > exit_eps)
 
         @pl.when(work)
         def _():
@@ -815,9 +836,9 @@ def _make_composite_kernel_fused(NP, Pb, Qb, QB, nu, nv, C, ncoeff,
             sig = ch_val(3 * ncoeff)
 
             def fold(colour, coeffs):
-                acc = yb_ref[qb, 0] * ch_val(colour * ncoeff)
+                acc = yb_ref[pb, qb, 0] * ch_val(colour * ncoeff)
                 for k in range(1, coeffs):
-                    acc += yb_ref[qb, k] * ch_val(colour * ncoeff + k)
+                    acc += yb_ref[pb, qb, k] * ch_val(colour * ncoeff + k)
                 return acc
 
             if _KPROF == "nofold":
@@ -829,44 +850,40 @@ def _make_composite_kernel_fused(NP, Pb, Qb, QB, nu, nv, C, ncoeff,
 
             @pl.when((j > 0) & (cl_ref[pb, qb, j] > 0))
             def _():
-                sig_a = prev_ref[qb, 0]
+                sig_a = prev_ref[pb, qb, 0]
                 integ, tbar, _, _ = _relu_trap(sig_a, sig, relu_sigma)
-                integ = integ * (prev_ref[qb, LROW] * livem)
+                integ = integ * (prev_ref[pb, qb, LROW] * livem)
                 cell_step = geom_ref[j, 1]
-                delta = cell_step * norm_ref[qb]
+                delta = cell_step * norm_ref[pb, qb]
                 if _KPROF == "notrans":
                     alpha = jnp.clip(integ * delta, 0.0, 1.0)
                     tone = lambda x: x * 0.25 + 0.5  # noqa: E731
                 else:
                     alpha = 1.0 - jnp.exp(-integ * delta)
                     tone = jax.nn.sigmoid
-                T = state_ref[qb, 0]
+                T = out_ref[pb, qb, 0]
                 w = alpha * T
                 s_b = geom_ref[j, 0]
-                s_mid = (s_b - cell_step + tbar * cell_step) * norm_ref[qb]
+                s_mid = (s_b - cell_step + tbar * cell_step) * norm_ref[pb, qb]
                 tb1 = 1.0 - tbar
                 for c in range(3):
-                    mraw = tb1 * prev_ref[qb, 1 + c] + tbar * rgb[c]
-                    state_ref[qb, 1 + c] += tone(mraw) * w
-                state_ref[qb, 4] += w
-                state_ref[qb, 5] += w * s_mid
+                    mraw = tb1 * prev_ref[pb, qb, 1 + c] + tbar * rgb[c]
+                    out_ref[pb, qb, 1 + c] += tone(mraw) * w
+                out_ref[pb, qb, 4] += w
+                out_ref[pb, qb, 5] += w * s_mid
                 if with_diffuse:
                     for c in range(3):
-                        mraw = tb1 * prev_ref[qb, 4 + c] + tbar * dif[c]
-                        state_ref[qb, 6 + c] += tone(mraw) * w
-                state_ref[qb, 0] = T * (1.0 - alpha)
+                        mraw = tb1 * prev_ref[pb, qb, 4 + c] + tbar * dif[c]
+                        out_ref[pb, qb, 6 + c] += tone(mraw) * w
+                out_ref[pb, qb, 0] = T * (1.0 - alpha)
 
-            prev_ref[qb, 0] = sig
+            prev_ref[pb, qb, 0] = sig
             for c in range(3):
-                prev_ref[qb, 1 + c] = rgb[c]
+                prev_ref[pb, qb, 1 + c] = rgb[c]
             if with_diffuse:
                 for c in range(3):
-                    prev_ref[qb, 4 + c] = dif[c]
-            prev_ref[qb, LROW] = livem
-
-        @pl.when(j == NP - 1)
-        def _():
-            out_ref[qb] = state_ref[qb]
+                    prev_ref[pb, qb, 4 + c] = dif[c]
+            prev_ref[pb, qb, LROW] = livem
 
     return kernel, SROWS, PROWS
 
@@ -887,47 +904,53 @@ def composite_positions_fused(slices, ybasis, norm, geom, statics, Pn, Qn,
     QB, Qb = _qb_blocks(statics, Qn)
     cell_live, pos_needed, pos_any = occupancy
     kernel, SROWS, PROWS = _make_composite_kernel_fused(
-        NP, Pb, Qb, QB, nu, nv, C, statics.ncoeff, statics.relu_sigma,
+        NP, Pb, Qb, QB, PB, nu, nv, C, statics.ncoeff, statics.relu_sigma,
         statics.with_diffuse, statics.exit_eps, P,
     )
     ia, ib = _vertex_index_maps(P, nvert)
     slices2d = slices.reshape(nvert, nu, C * nv)
-    yb_q = jnp.transpose(
-        ybasis.reshape(statics.ncoeff, Pn, QB, Qb), (2, 0, 1, 3)
+    # frame-wide operands reorganize to [PB, QB, ..., Pb, Qb] and stay
+    # VMEM-resident (constant index maps, fetched once) — with positions
+    # outermost they would otherwise refetch on every (j, pb) step
+    yb_pq = jnp.transpose(
+        ybasis.reshape(statics.ncoeff, PB, Pb, QB, Qb), (1, 3, 0, 2, 4)
     )
-    norm_q = jnp.transpose(norm.reshape(Pn, QB, Qb), (1, 0, 2))
+    norm_pq = jnp.transpose(norm.reshape(PB, Pb, QB, Qb), (0, 2, 1, 3))
     out = pl.pallas_call(
         kernel,
-        grid=(PB, NP, QB),
+        grid=(NP, PB, QB),
         in_specs=[
-            pl.BlockSpec((NP, 8), lambda pb, t, qb: (0, 0),
+            pl.BlockSpec((NP, 8), lambda t, pb, qb: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((PB, QB, NP), lambda pb, t, qb: (0, 0, 0),
+            pl.BlockSpec((PB, QB, NP), lambda t, pb, qb: (0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((PB, QB, NP), lambda pb, t, qb: (0, 0, 0),
+            pl.BlockSpec((PB, QB, NP), lambda t, pb, qb: (0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((PB, NP), lambda pb, t, qb: (0, 0),
+            pl.BlockSpec((PB, NP), lambda t, pb, qb: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nu, C * nv), lambda pb, t, qb: (ia(t), 0, 0)),
-            pl.BlockSpec((1, nu, C * nv), lambda pb, t, qb: (ib(t), 0, 0)),
-            pl.BlockSpec((QB, statics.ncoeff, Pb, Qb),
-                         lambda pb, t, qb: (0, 0, pb, 0)),
-            pl.BlockSpec((QB, Pb, Qb), lambda pb, t, qb: (0, pb, 0)),
+            pl.BlockSpec((1, nu, C * nv), lambda t, pb, qb: (ia(t), 0, 0)),
+            pl.BlockSpec((1, nu, C * nv), lambda t, pb, qb: (ib(t), 0, 0)),
+            pl.BlockSpec((PB, QB, statics.ncoeff, Pb, Qb),
+                         lambda t, pb, qb: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((PB, QB, Pb, Qb), lambda t, pb, qb: (0, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((QB, SROWS, Pb, Qb),
-                               lambda pb, t, qb: (0, 0, pb, 0)),
-        out_shape=jax.ShapeDtypeStruct((QB, SROWS, Pn, Qb), jnp.float32),
+        # the march state IS the output block: one frame-resident
+        # [PB, QB, SROWS, Pb, Qb] buffer (constant index map -> single final
+        # flush), initialized at j == 0 and updated in place
+        out_specs=pl.BlockSpec((PB, QB, SROWS, Pb, Qb),
+                               lambda t, pb, qb: (0, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((PB, QB, SROWS, Pb, Qb), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((QB, PROWS, Pb, Qb), jnp.float32),
-            pltpu.VMEM((QB, SROWS, Pb, Qb), jnp.float32),
+            pltpu.VMEM((PB, QB, PROWS, Pb, Qb), jnp.float32),
             pltpu.VMEM((Pb, C * nv), jnp.bfloat16),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=statics.interpret,
-    )(geom, cell_live, pos_needed, pos_any, slices2d, slices2d, yb_q, norm_q)
-    return jnp.transpose(out, (1, 2, 0, 3)).reshape(SROWS, Pn, Qn)
+    )(geom, cell_live, pos_needed, pos_any, slices2d, slices2d, yb_pq,
+      norm_pq)
+    return jnp.transpose(out, (2, 0, 3, 1, 4)).reshape(SROWS, Pn, Qn)
 
 
 # ------------------------------------------------------------------ pipeline

@@ -121,7 +121,12 @@ def _fused_train_blocking(Pn_raw: int, Qn: int, nu: int, nv: int, C: int,
     NDM = PROWS - 1
     Qb = qb if (qb > 0 and Qn > qb and Qn % qb == 0) else Qn
     budget = 100 * 1024 * 1024
-    PB = 1
+    # start at Pb = 128 (fine u-blocking), not PB = 1: positions iterate
+    # outermost so extra u-blocks cost no slice DMA, and occupancy gating at
+    # Pb = 128 skips ~2x more of the replay/cotangent work than whole-stripe
+    # blocks at 128^3/400px (probe_composite_cost; frame_rounding guarantees
+    # 128 | Pn_raw) while keeping every dot's M a full MXU row tile
+    PB = max(1, Pn_raw // 128)
     while True:
         Pb = -(-Pn_raw // (8 * PB)) * 8
         Pn = PB * Pb
