@@ -466,6 +466,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
             import gc
 
             jax.clear_caches()
+            vol_mod.drop_prepared_cache()
             gc.collect()
         stage_dataset = stagewise_train_datasets[stage - 1]
         stage_intrinsics = stage_dataset.camera_intrinsics
@@ -787,6 +788,9 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                     overridden_num_samples_per_ray=vol_mod.render_config.render_num_samples_per_ray,
                     verbose_rendering=verbose_rendering,
                 )
+                # the feedback render's prepared tables (~2.7 GB at 256^3)
+                # must not stay resident across the next train step
+                vol_mod.drop_prepared_cache()
 
             if (
                 test_dataset is not None
@@ -803,6 +807,7 @@ def train_sh_vox_grid_vol_mod_with_posed_images(
                     tensorboard_writer=tensorboard_writer,
                     global_step=global_step,
                 )
+                vol_mod.drop_prepared_cache()
 
             if global_step % save_freq == 0 or is_edge:
                 vol_mod.thre3d_repr = grid

@@ -261,6 +261,18 @@ class VolumetricModel:
         self._prepared_cache = (grid.densities, grid.features, cache_key, prepared)
         return prepared
 
+    def drop_prepared_cache(self) -> None:
+        """Free the per-grid prepared tables (packed bf16 slices, occupancy).
+
+        At 256^3 the prepared tables are ~2.7 GB of HBM; a training loop that
+        renders feedback/test images mid-stage must release them afterwards or
+        the NEXT train step's peak no longer fits (the canonical 4-stage run
+        OOM'd on the first post-feedback step of stage 4 with the cache
+        resident). Re-preparing on the next render call is one jitted pack,
+        negligible next to a full-image render."""
+        if hasattr(self, "_prepared_cache"):
+            del self._prepared_cache
+
     # ------------------------------------------------------------------ io
 
     def get_save_info(

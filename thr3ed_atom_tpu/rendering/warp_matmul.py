@@ -63,101 +63,209 @@ def _kernel_weights(t: jnp.ndarray, order: int) -> jnp.ndarray:
     raise ValueError(f"unsupported warp order {order}")
 
 
+_SEG = 128
+
+
 def _make_resample_kernel(CH: int, K: int, N: int, order: int, adjoint: bool,
                           taps: bool):
-    """Per-grid-step: _ROWS_PER_BLOCK scanlines, one small matmul each.
+    """Banded, liveness-gated resample (round-5 restructure).
 
-    Forward: Y[i] = X[i] @ W_i with W_i[k, n] = K(k - pos[i, n]) — an [CH, K]
-    @ [K, N] matmul per scanline. Adjoint: dX[i] = dY[i] (contract n) W_i —
-    the same weight build with the contraction on the OUTPUT axis
-    (lax.dot_general), avoiding any in-kernel transpose.
+    The weight matrix W_i[k, n] = K(k - pos[i, n]) is BANDED — the kernel
+    support is <= 4 texels — but was built dense [K, N] on the VPU, and that
+    build (not the matmul pass count) measured as the warp's bottleneck
+    (DESIGN_NOTES round-5). Both axes are now chunked into 128-blocks and an
+    XLA-precomputed SMEM mask gates each (n-chunk, k-chunk) pair on
+    band-intersection AND nonzero-source: out-of-band blocks (most of them —
+    a 128-output chunk's positions span ~1/4 of K) and empty source blocks
+    (most of a composited frame is background, which is exactly zero before
+    the white background is applied) skip the weight build and the dot
+    entirely. Dead output chunks stay at their zero initialization, which is
+    exact.
 
-    ``taps`` widens W to [K, 3N] by appending one-hot columns extracting the
-    two CENTRAL taps (floor(pos), floor(pos)+1) — the wrapper clamps the
-    cubic result to their hull (the matmul analogue of the gather path's
-    ringing clamp), all in one MXU pass per scanline."""
+    Forward grid (b, nseg, kseg), kseg innermost: the [8, CH, 128] output
+    chunk at (b, nseg) accumulates live k-segment dots. ``taps`` adds two
+    one-hot rows extracting the CENTRAL taps (floor(pos), floor(pos)+1) into
+    output planes 1 and 2 of a [8, 3, CH, 128] chunk — the wrapper clamps
+    the cubic interpolant (plane 0) to their hull (the matmul analogue of
+    the gather path's ringing clamp). Adjoint grid (b, kseg, nseg), nseg
+    innermost: dX[i] = dY[i] (contract n) W_i — the same banded weight build
+    with the contraction on the OUTPUT axis (lax.dot_general), no in-kernel
+    transpose."""
 
-    def kernel(x_ref, pos_ref, o_ref):
-        for i in range(_ROWS_PER_BLOCK):
-            posr = pos_ref[i]  # [1, N]
-            kio = jax.lax.broadcasted_iota(jnp.int32, (K, N), 0)
-            kf = kio.astype(jnp.float32)
-            w = _kernel_weights(kf - posr, order)
-            # Precision.HIGH: these are f32 value x f32 weight matmuls. The
-            # MXU's default single-pass mode quantizes BOTH operands to bf16,
-            # turning the interpolation weights into ~3-digit numbers —
-            # measured as an ss-INDEPENDENT ~55 dB quality ceiling on the
-            # whole render (experiments/probe_quadrature_fairness.py) while
-            # the f32 gather warp reached 79 dB. HIGHEST (the multi-pass f32
-            # algorithm; Mosaic rejects HIGH) restores the interpolant; the
-            # clamp-taps dot below stays single-pass, cutting the widened
-            # matmul's pass count 18N -> 8N vs HIGHEST-on-everything.
-            if adjoint:
-                if taps:
-                    p0 = jnp.floor(posr)
-                    w = jnp.concatenate(
-                        [w, (kf == p0).astype(jnp.float32),
-                         (kf == p0 + 1.0).astype(jnp.float32)],
-                        axis=1,
-                    )  # [K, 3N] — the cotangent spans interpolant + taps
-                o_ref[i] = jax.lax.dot_general(
-                    x_ref[i], w, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-            elif taps:
-                o_ref[i, :, :N] = jnp.dot(
-                    x_ref[i], w, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                # the two CENTRAL-tap extractions feed only the ringing
-                # clamp's bounds; one-hot weights are exact in bf16 and a
-                # ~0.4% bound tolerance is harmless, so the taps dot runs
-                # at default (single-pass) precision
-                p0 = jnp.floor(posr)
-                oh = jnp.concatenate(
-                    [(kf == p0).astype(jnp.float32),
-                     (kf == p0 + 1.0).astype(jnp.float32)],
-                    axis=1,
-                )  # [K, 2N]
-                o_ref[i, :, N:] = jnp.dot(
-                    x_ref[i], oh, preferred_element_type=jnp.float32,
-                )
-            else:
-                o_ref[i] = jnp.dot(
-                    x_ref[i], w, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+    def kernel(x_ref, pos_ref, live_ref, o_ref):
+        if adjoint:
+            kseg = pl.program_id(1)
+            nseg = pl.program_id(2)
+            inner = nseg
+        else:
+            nseg = pl.program_id(1)
+            kseg = pl.program_id(2)
+            inner = kseg
+
+        @pl.when(inner == 0)
+        def _():
+            o_ref[...] = jnp.zeros(o_ref.shape, o_ref.dtype)
+
+        @pl.when(live_ref[0, nseg, kseg] > 0)
+        def _():
+            kio = jax.lax.broadcasted_iota(jnp.int32, (_SEG, _SEG), 0)
+            kf = (kseg * _SEG + kio).astype(jnp.float32)
+            for i in range(_ROWS_PER_BLOCK):
+                posr = pos_ref[i, :, pl.ds(nseg * _SEG, _SEG)]  # [1, SEG]
+                w = _kernel_weights(kf - posr, order)
+                # Precision notes (round 4): these are f32 value x f32 weight
+                # matmuls. The MXU's default single-pass mode quantizes BOTH
+                # operands to bf16, turning the interpolation weights into
+                # ~3-digit numbers — measured as an ss-INDEPENDENT ~55 dB
+                # quality ceiling on the whole render while the f32 gather
+                # warp reached 79 dB. HIGHEST (the multi-pass f32 algorithm;
+                # Mosaic rejects HIGH) restores the interpolant. The
+                # central-tap extractions feed only the ringing clamp's
+                # bounds; one-hot weights are exact in bf16, so those dots
+                # stay single-pass.
+                if adjoint:
+                    if taps:
+                        p0 = jnp.floor(posr)
+                        dy = x_ref[i, 0, :, pl.ds(nseg * _SEG, _SEG)]
+                        acc = jax.lax.dot_general(
+                            dy, w, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )
+                        for t, oh in (
+                            (1, (kf == p0).astype(jnp.float32)),
+                            (2, (kf == p0 + 1.0).astype(jnp.float32)),
+                        ):
+                            acc += jax.lax.dot_general(
+                                x_ref[i, t, :, pl.ds(nseg * _SEG, _SEG)], oh,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                    else:
+                        acc = jax.lax.dot_general(
+                            x_ref[i, :, pl.ds(nseg * _SEG, _SEG)], w,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )
+                    o_ref[i] += acc
+                else:
+                    xseg = x_ref[i, :, pl.ds(kseg * _SEG, _SEG)]  # [CH, SEG]
+                    y = jnp.dot(
+                        xseg, w, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    if taps:
+                        o_ref[i, 0] += y
+                        p0 = jnp.floor(posr)
+                        o_ref[i, 1] += jnp.dot(
+                            xseg, (kf == p0).astype(jnp.float32),
+                            preferred_element_type=jnp.float32,
+                        )
+                        o_ref[i, 2] += jnp.dot(
+                            xseg, (kf == p0 + 1.0).astype(jnp.float32),
+                            preferred_element_type=jnp.float32,
+                        )
+                    else:
+                        o_ref[i] += y
 
     return kernel
 
 
+def _band_masks(X, pos, order: int, adjoint: bool, K_out: int):
+    """[NBB, NSEG, KSEG] int32 liveness: kernel-band intersection AND
+    nonzero-source, OR-ed over the 8 scanlines of each row block. Skipping a
+    zero source block is exact in both directions (forward: contributes
+    nothing; adjoint: zero cotangent chunks contribute nothing to dX)."""
+    NB = X.shape[0]
+    N = pos.shape[2]
+    NBB = NB // _ROWS_PER_BLOCK
+    NSEG = N // _SEG
+    half = 1.0 if order == 1 else 2.0
+    pg = pos.reshape(NBB, _ROWS_PER_BLOCK, NSEG, _SEG)
+    lo = jnp.floor(pg.min(axis=(1, 3))) - half          # [NBB, NSEG]
+    hi = jnp.ceil(pg.max(axis=(1, 3))) + half
+    if adjoint:
+        KSEG = K_out // _SEG
+        # source here is the cotangent dY [NB, (3,) CH, N] — chunk over N
+        a = jnp.abs(X).reshape(NBB, -1, NSEG, _SEG)
+        src = (a.max(axis=(1, 3)) > 0.0)                # [NBB, NSEG]
+        src = src[:, :, None]
+    else:
+        KSEG = X.shape[-1] // _SEG
+        a = jnp.abs(X).reshape(NBB, -1, KSEG, _SEG)
+        src = (a.max(axis=(1, 3)) > 0.0)                # [NBB, KSEG]
+        src = src[:, None, :]
+    ks = jnp.arange(KSEG, dtype=jnp.float32) * _SEG
+    band = (ks[None, None, :] <= hi[:, :, None]) & (
+        ks[None, None, :] + (_SEG - 1) >= lo[:, :, None]
+    )
+    return (band & src).astype(jnp.int32)
+
+
 def _resample_call(X, pos, order: int, adjoint: bool, K_out: int,
                    interpret: bool, taps: bool = False):
-    NB, CH, Kin = X.shape
-    N = pos.shape[2]
-    mult = 3 if taps else 1
-    assert pos.shape == (NB, 1, N) and NB % _ROWS_PER_BLOCK == 0
-    if adjoint:
-        assert mult * N == Kin
-        out_n, w_k, w_n = K_out, K_out, N
+    if taps and adjoint:
+        NB, three, CH, Nx = X.shape
+        assert three == 3
     else:
-        out_n, w_k, w_n = mult * N, Kin, N
-    kernel = _make_resample_kernel(CH, w_k, w_n, order, adjoint, taps)
+        NB, CH, Nx = X.shape
+    N = pos.shape[2]
+    assert pos.shape == (NB, 1, N) and NB % _ROWS_PER_BLOCK == 0
+    assert N % _SEG == 0, N
+    if adjoint:
+        assert Nx == N and K_out % _SEG == 0, (Nx, N, K_out)
+        Kin, out_n = N, K_out
+        KSEG = K_out // _SEG
+    else:
+        assert Nx % _SEG == 0, Nx
+        Kin, out_n = Nx, N
+        KSEG = Nx // _SEG
+    NSEG = N // _SEG
+    NBB = NB // _ROWS_PER_BLOCK
+    live = _band_masks(X, pos, order, adjoint, K_out)
+    kernel = _make_resample_kernel(CH, Kin, N, order, adjoint, taps)
+    if adjoint:
+        grid = (NBB, KSEG, NSEG)  # nseg innermost: accumulate over n-chunks
+        x_block = ((_ROWS_PER_BLOCK, 3, CH, N) if taps
+                   else (_ROWS_PER_BLOCK, CH, N))
+        x_map = ((lambda b, k, n: (b, 0, 0, 0)) if taps
+                 else (lambda b, k, n: (b, 0, 0)))
+        pos_map = lambda b, k, n: (b, 0, 0)  # noqa: E731
+        live_map = lambda b, k, n: (b, 0, 0)  # noqa: E731
+        out_specs = pl.BlockSpec((_ROWS_PER_BLOCK, CH, _SEG),
+                                 lambda b, k, n: (b, 0, k))
+        out_shape = jax.ShapeDtypeStruct((NB, CH, out_n), jnp.float32)
+    else:
+        grid = (NBB, NSEG, KSEG)  # kseg innermost: accumulate over k-chunks
+        x_block = (_ROWS_PER_BLOCK, CH, Kin)
+        x_map = lambda b, n, k: (b, 0, 0)  # noqa: E731
+        pos_map = lambda b, n, k: (b, 0, 0)  # noqa: E731
+        live_map = lambda b, n, k: (b, 0, 0)  # noqa: E731
+        if taps:
+            out_specs = pl.BlockSpec((_ROWS_PER_BLOCK, 3, CH, _SEG),
+                                     lambda b, n, k: (b, 0, 0, n))
+            out_shape = jax.ShapeDtypeStruct((NB, 3, CH, N), jnp.float32)
+        else:
+            out_specs = pl.BlockSpec((_ROWS_PER_BLOCK, CH, _SEG),
+                                     lambda b, n, k: (b, 0, n))
+            out_shape = jax.ShapeDtypeStruct((NB, CH, N), jnp.float32)
     return pl.pallas_call(
         kernel,
-        grid=(NB // _ROWS_PER_BLOCK,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((_ROWS_PER_BLOCK, CH, Kin), lambda b: (b, 0, 0)),
-            pl.BlockSpec((_ROWS_PER_BLOCK, 1, N), lambda b: (b, 0, 0)),
+            pl.BlockSpec(x_block, x_map),
+            pl.BlockSpec((_ROWS_PER_BLOCK, 1, N), pos_map),
+            pl.BlockSpec((1, NSEG, KSEG), live_map,
+                         memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((_ROWS_PER_BLOCK, CH, out_n), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((NB, CH, out_n), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
-    )(X, pos)
+    )(X, pos, live)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -167,9 +275,10 @@ def resample_rows(X, pos, order: int, interpret: bool = False,
 
     X [NB, CH, K] f32, pos [NB, 1, N] f32 (positions in texel units, already
     clipped so the kernel support stays in range) -> [NB, CH, N] f32
-    (``taps``: [NB, CH, 3N] — the interpolant plus the two central tap
-    values). Linear in X; the VJP runs the adjoint kernel (transposed
-    contraction)."""
+    (``taps``: [NB, 3, CH, N] — plane 0 the interpolant, planes 1/2 the two
+    central tap values). K and N must be 128-multiples (the banded kernel's
+    chunk size; every caller's frame is 128-rounded). Linear in X; the VJP
+    runs the adjoint kernel (transposed contraction)."""
     return _resample_call(X, pos, order, adjoint=False, K_out=0,
                           interpret=interpret, taps=taps)
 
@@ -199,9 +308,8 @@ def resample_rows_clamped(X, pos, order: int, interpret: bool = False):
     empty and the white-background identity holds, mirroring the gather
     path's bilinear-hull clamp). The clip lives in XLA, so autodiff routes
     gradients through the active bound — the pallas op itself stays linear."""
-    N = pos.shape[2]
     y3 = resample_rows(X, pos, order, interpret, True)
-    y, t0, t1 = y3[..., :N], y3[..., N:2 * N], y3[..., 2 * N:]
+    y, t0, t1 = y3[:, 0], y3[:, 1], y3[:, 2]
     return jnp.clip(y, jnp.minimum(t0, t1), jnp.maximum(t0, t1))
 
 
@@ -375,10 +483,9 @@ def warp_state_matmul(
     # RECONSTRUCTION against the unfiltered neighbours like the gather path)
     if warp_order == 5:
         coeff = _prefilter_last_axis(first)
-        N1 = line_pos.shape[2]
         y = resample_rows(coeff, line_pos, 5, interpret)
         t3 = resample_rows(first, line_pos, 1, interpret, True)
-        t0, t1 = t3[..., N1:2 * N1], t3[..., 2 * N1:]
+        t0, t1 = t3[:, 1], t3[:, 2]
         inter = jnp.clip(y, jnp.minimum(t0, t1), jnp.maximum(t0, t1))
     elif warp_order == 3:
         inter = resample_rows_clamped(first, line_pos, 3, interpret)
@@ -392,10 +499,9 @@ def warp_state_matmul(
         # prefilter over the zero-padded tail is harmless: positions are
         # clipped so no tap reaches the pad region
         coeff2 = _prefilter_last_axis(inter)
-        N2 = pix_pos.shape[2]
         y = resample_rows(coeff2, pix_pos, 5, interpret)
         t3 = resample_rows(inter, pix_pos, 1, interpret, True)
-        t0, t1 = t3[..., N2:2 * N2], t3[..., 2 * N2:]
+        t0, t1 = t3[:, 1], t3[:, 2]
         out = jnp.clip(y, jnp.minimum(t0, t1), jnp.maximum(t0, t1))
     elif warp_order == 3:
         out = resample_rows_clamped(inter, pix_pos, 3, interpret)
