@@ -92,28 +92,29 @@ def main():
         return jax.jit(run)
 
     def geo_of(ro):
+        # round-5: production fused path rebuilds ybasis/norm IN-KERNEL
         rot, org = ro
         return gn.gnomonic_geometry(rot, org, statics, IMAGE_SIZE, IMAGE_SIZE,
-                                    focal, ss, lite=True)
+                                    focal, ss, lite=True, skip_basis=True)
 
     def s1(ro):
         g = geo_of(ro)
-        return (jnp.sum(g.geom), jnp.sum(g.ybasis), jnp.sum(g.norm))
+        return (jnp.sum(g.geom), g.xr[0] + g.yr[0])
 
     def s2(ro):
         g = geo_of(ro)
         occ = gn.gnomonic_occupancy_lite(slices, g.geom, statics, Pn, Qn, PB,
                                          Pb, QB, Qb)
-        return (jnp.sum(g.ybasis), jnp.sum(g.norm)) + tuple(
-            jnp.sum(o) for o in occ)
+        return (g.xr[0] + g.yr[0],) + tuple(jnp.sum(o) for o in occ)
 
     def s3(ro):
         rot, org = ro
         g = geo_of(ro)
         occ = gn.gnomonic_occupancy_lite(slices, g.geom, statics, Pn, Qn, PB,
                                          Pb, QB, Qb)
-        state = gn.composite_positions_fused(slices, g.ybasis, g.norm, g.geom,
-                                             statics, Pn, Qn, PB, Pb, occ)
+        state = gn.composite_positions_fused(slices, None, None, g.geom,
+                                             statics, Pn, Qn, PB, Pb, occ,
+                                             xr=g.xr, yr=g.yr)
         return jnp.sum(state)
 
     def s4(ro):

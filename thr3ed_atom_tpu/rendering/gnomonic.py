@@ -739,7 +739,8 @@ def _vertex_index_maps(P, nvert):
 
 
 def _make_composite_kernel_fused(NP, Pb, Qb, QB, PB, nu, nv, C, ncoeff,
-                                 relu_sigma, with_diffuse, exit_eps, P):
+                                 relu_sigma, with_diffuse, exit_eps, P,
+                                 frame_inline=None):
     """v3: the u-resample matmul moves INSIDE the composite kernel.
 
     grid=(NP, PB, QB) — positions OUTERMOST (round-5 restructure, mirroring
@@ -762,12 +763,30 @@ def _make_composite_kernel_fused(NP, Pb, Qb, QB, PB, nu, nv, C, ncoeff,
     the [NP, C, Pn, nv] t1 tensor never exists in HBM (~1 GB/pose round trip
     at 128^3 / 400px), the u-resample work is occupancy-skipped per
     (position, u-block), and the Ru/RvT/live geometry tensors (~130 MB of
-    XLA build+write+read per pose) reduce to 4 scalars per position."""
+    XLA build+write+read per pose) reduce to 4 scalars per position.
+
+    ``frame_inline`` = (u_ax, v_ax, axis, g) switches the SH basis + norm
+    operands from HBM inputs to an in-kernel build (round-5): at j == 0 each
+    (pb, qb) block computes its texel directions from 4 frame scalars (x0,
+    dx, y0, dy in SMEM) and evaluates the SH ladder into VMEM scratch —
+    deleting the XLA-side [ncoeff, Pn, Qn] build + transpose + fetch that
+    measured as most of the render's 0.61 ms/pose geometry stage. The
+    training path keeps the materialized operands (its backward folds
+    cotangents against the same ybasis)."""
     SROWS, PROWS = _sprows(with_diffuse)
     LROW = PROWS - 1
 
-    def kernel(geom_ref, cl_ref, pn_ref, pa_ref, sl_a_ref, sl_b_ref, yb_ref,
-               norm_ref, out_ref, prev_ref, t1m_ref):
+    def kernel(*refs):
+        if frame_inline is None:
+            (geom_ref, cl_ref, pn_ref, pa_ref, sl_a_ref, sl_b_ref, yb_ref,
+             norm_ref, out_ref, prev_ref, t1m_ref) = refs
+            yb_at = lambda pb, qb, k: yb_ref[pb, qb, k]  # noqa: E731
+            nm_at = lambda pb, qb: norm_ref[pb, qb]  # noqa: E731
+        else:
+            (geom_ref, cl_ref, pn_ref, pa_ref, sl_a_ref, sl_b_ref, fs_ref,
+             out_ref, prev_ref, t1m_ref, yb_scr, nm_scr) = refs
+            yb_at = lambda pb, qb, k: yb_scr[pb, qb, k]  # noqa: E731
+            nm_at = lambda pb, qb: nm_scr[pb, qb]  # noqa: E731
         j = pl.program_id(0)
         pb = pl.program_id(1)
         qb = pl.program_id(2)
@@ -776,6 +795,21 @@ def _make_composite_kernel_fused(NP, Pb, Qb, QB, PB, nu, nv, C, ncoeff,
         def _():
             out_ref[pb, qb] = jnp.zeros((SROWS, Pb, Qb), jnp.float32)
             out_ref[pb, qb, 0] = jnp.ones((Pb, Qb), jnp.float32)
+            if frame_inline is not None:
+                u_ax, v_ax, axis, g = frame_inline
+                iu = jax.lax.broadcasted_iota(jnp.int32, (Pb, Qb), 0)
+                iv = jax.lax.broadcasted_iota(jnp.int32, (Pb, Qb), 1)
+                xs = fs_ref[0] + (iu + pb * Pb).astype(jnp.float32) * fs_ref[1]
+                ys = fs_ref[2] + (iv + qb * Qb).astype(jnp.float32) * fs_ref[3]
+                nm = jnp.sqrt(1.0 + xs * xs + ys * ys)
+                nm_scr[pb, qb] = nm
+                comp = [None, None, None]
+                comp[u_ax] = xs / nm
+                comp[v_ax] = ys / nm
+                comp[axis] = g / nm
+                yb_scr[pb, qb] = _ybasis_rows(
+                    comp[0], comp[1], comp[2], ncoeff, Pb, Qb
+                )
 
         s_j = geom_ref[j, 0]
         bu = geom_ref[j, 2]
@@ -836,9 +870,9 @@ def _make_composite_kernel_fused(NP, Pb, Qb, QB, PB, nu, nv, C, ncoeff,
             sig = ch_val(3 * ncoeff)
 
             def fold(colour, coeffs):
-                acc = yb_ref[pb, qb, 0] * ch_val(colour * ncoeff)
+                acc = yb_at(pb, qb, 0) * ch_val(colour * ncoeff)
                 for k in range(1, coeffs):
-                    acc += yb_ref[pb, qb, k] * ch_val(colour * ncoeff + k)
+                    acc += yb_at(pb, qb, k) * ch_val(colour * ncoeff + k)
                 return acc
 
             if _KPROF == "nofold":
@@ -854,7 +888,7 @@ def _make_composite_kernel_fused(NP, Pb, Qb, QB, PB, nu, nv, C, ncoeff,
                 integ, tbar, _, _ = _relu_trap(sig_a, sig, relu_sigma)
                 integ = integ * (prev_ref[pb, qb, LROW] * livem)
                 cell_step = geom_ref[j, 1]
-                delta = cell_step * norm_ref[pb, qb]
+                delta = cell_step * nm_at(pb, qb)
                 if _KPROF == "notrans":
                     alpha = jnp.clip(integ * delta, 0.0, 1.0)
                     tone = lambda x: x * 0.25 + 0.5  # noqa: E731
@@ -864,7 +898,7 @@ def _make_composite_kernel_fused(NP, Pb, Qb, QB, PB, nu, nv, C, ncoeff,
                 T = out_ref[pb, qb, 0]
                 w = alpha * T
                 s_b = geom_ref[j, 0]
-                s_mid = (s_b - cell_step + tbar * cell_step) * norm_ref[pb, qb]
+                s_mid = (s_b - cell_step + tbar * cell_step) * nm_at(pb, qb)
                 tb1 = 1.0 - tbar
                 for c in range(3):
                     mraw = tb1 * prev_ref[pb, qb, 1 + c] + tbar * rgb[c]
@@ -889,7 +923,7 @@ def _make_composite_kernel_fused(NP, Pb, Qb, QB, PB, nu, nv, C, ncoeff,
 
 
 def composite_positions_fused(slices, ybasis, norm, geom, statics, Pn, Qn,
-                              PB, Pb, occupancy):
+                              PB, Pb, occupancy, xr=None, yr=None):
     """Run the FUSED (v3) composite kernel: raw VERTEX slices in, composited
     state out — no t1 intermediate, no interior-position materialization.
     slices [nvert, nu, C, nv] bf16 (consumed as the free [nvert, nu, C*nv]
@@ -903,53 +937,83 @@ def composite_positions_fused(slices, ybasis, norm, geom, statics, Pn, Qn,
     C = _padded_channels(statics)
     QB, Qb = _qb_blocks(statics, Qn)
     cell_live, pos_needed, pos_any = occupancy
+    inline = xr is not None
+    frame_inline = None
+    if inline:
+        u_ax, v_ax = _uv_axes(statics.axis)
+        frame_inline = (u_ax, v_ax, statics.axis,
+                        -1.0 if statics.flip else 1.0)
     kernel, SROWS, PROWS = _make_composite_kernel_fused(
         NP, Pb, Qb, QB, PB, nu, nv, C, statics.ncoeff, statics.relu_sigma,
-        statics.with_diffuse, statics.exit_eps, P,
+        statics.with_diffuse, statics.exit_eps, P, frame_inline=frame_inline,
     )
     ia, ib = _vertex_index_maps(P, nvert)
     slices2d = slices.reshape(nvert, nu, C * nv)
-    # frame-wide operands reorganize to [PB, QB, ..., Pb, Qb] and stay
-    # VMEM-resident (constant index maps, fetched once) — with positions
-    # outermost they would otherwise refetch on every (j, pb) step
-    yb_pq = jnp.transpose(
-        ybasis.reshape(statics.ncoeff, PB, Pb, QB, Qb), (1, 3, 0, 2, 4)
-    )
-    norm_pq = jnp.transpose(norm.reshape(PB, Pb, QB, Qb), (0, 2, 1, 3))
-    out = pl.pallas_call(
-        kernel,
-        grid=(NP, PB, QB),
-        in_specs=[
-            pl.BlockSpec((NP, 8), lambda t, pb, qb: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((PB, QB, NP), lambda t, pb, qb: (0, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((PB, QB, NP), lambda t, pb, qb: (0, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((PB, NP), lambda t, pb, qb: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nu, C * nv), lambda t, pb, qb: (ia(t), 0, 0)),
-            pl.BlockSpec((1, nu, C * nv), lambda t, pb, qb: (ib(t), 0, 0)),
+    in_specs = [
+        pl.BlockSpec((NP, 8), lambda t, pb, qb: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((PB, QB, NP), lambda t, pb, qb: (0, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((PB, QB, NP), lambda t, pb, qb: (0, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((PB, NP), lambda t, pb, qb: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, nu, C * nv), lambda t, pb, qb: (ia(t), 0, 0)),
+        pl.BlockSpec((1, nu, C * nv), lambda t, pb, qb: (ib(t), 0, 0)),
+    ]
+    scratch = [
+        pltpu.VMEM((PB, QB, PROWS, Pb, Qb), jnp.float32),
+        pltpu.VMEM((Pb, C * nv), jnp.bfloat16),
+    ]
+    if inline:
+        # 4 frame scalars replace the [ncoeff, Pn, Qn] ybasis + [Pn, Qn]
+        # norm HBM operands; the kernel rebuilds both into VMEM scratch at
+        # j == 0 (see _make_composite_kernel_fused)
+        (x0, x1), (y0, y1) = xr, yr
+        fs = jnp.stack([
+            x0, (x1 - x0) / (Pn - 1), y0, (y1 - y0) / (Qn - 1),
+            jnp.zeros_like(x0), jnp.zeros_like(x0), jnp.zeros_like(x0),
+            jnp.zeros_like(x0),
+        ]).astype(jnp.float32)
+        in_specs.append(pl.BlockSpec((8,), lambda t, pb, qb: (0,),
+                                     memory_space=pltpu.SMEM))
+        scratch += [
+            pltpu.VMEM((PB, QB, statics.ncoeff, Pb, Qb), jnp.float32),
+            pltpu.VMEM((PB, QB, Pb, Qb), jnp.float32),
+        ]
+        operands = (geom, cell_live, pos_needed, pos_any, slices2d, slices2d,
+                    fs)
+    else:
+        # frame-wide operands reorganize to [PB, QB, ..., Pb, Qb] and stay
+        # VMEM-resident (constant index maps, fetched once) — with positions
+        # outermost they would otherwise refetch on every (j, pb) step
+        yb_pq = jnp.transpose(
+            ybasis.reshape(statics.ncoeff, PB, Pb, QB, Qb), (1, 3, 0, 2, 4)
+        )
+        norm_pq = jnp.transpose(norm.reshape(PB, Pb, QB, Qb), (0, 2, 1, 3))
+        in_specs += [
             pl.BlockSpec((PB, QB, statics.ncoeff, Pb, Qb),
                          lambda t, pb, qb: (0, 0, 0, 0, 0)),
             pl.BlockSpec((PB, QB, Pb, Qb), lambda t, pb, qb: (0, 0, 0, 0)),
-        ],
+        ]
+        operands = (geom, cell_live, pos_needed, pos_any, slices2d, slices2d,
+                    yb_pq, norm_pq)
+    out = pl.pallas_call(
+        kernel,
+        grid=(NP, PB, QB),
+        in_specs=in_specs,
         # the march state IS the output block: one frame-resident
         # [PB, QB, SROWS, Pb, Qb] buffer (constant index map -> single final
         # flush), initialized at j == 0 and updated in place
         out_specs=pl.BlockSpec((PB, QB, SROWS, Pb, Qb),
                                lambda t, pb, qb: (0, 0, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((PB, QB, SROWS, Pb, Qb), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((PB, QB, PROWS, Pb, Qb), jnp.float32),
-            pltpu.VMEM((Pb, C * nv), jnp.bfloat16),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=statics.interpret,
-    )(geom, cell_live, pos_needed, pos_any, slices2d, slices2d, yb_pq,
-      norm_pq)
+    )(*operands)
     return jnp.transpose(out, (2, 0, 3, 1, 4)).reshape(SROWS, Pn, Qn)
 
 
@@ -1002,6 +1066,7 @@ def gnomonic_geometry(
     rotation, origin, statics: GnomonicStatics, height: int, width: int,
     focal, supersample: float, frame: Optional[Tuple[int, int]] = None,
     phase: Optional[Tuple] = None, lite: bool = False,
+    skip_basis: bool = False,
 ) -> GnomonicGeometry:
     """All pose-dependent operands of the gnomonic march (in-jit, dynamic).
     ``frame`` overrides (Pn, Qn) — the training pipeline uses backward-sized
@@ -1042,13 +1107,21 @@ def gnomonic_geometry(
 
     xs = x0 + (x1 - x0) * jnp.arange(Pn, dtype=jnp.float32) / (Pn - 1)
     ys = y0 + (y1 - y0) * jnp.arange(Qn, dtype=jnp.float32) / (Qn - 1)
-    norm = jnp.sqrt(1.0 + xs[:, None] ** 2 + ys[None, :] ** 2)
+    if skip_basis:
+        # the fused render kernel rebuilds ybasis + norm in VMEM from the
+        # frame scalars (composite_positions_fused xr/yr) — skip the
+        # [ncoeff, Pn, Qn] XLA materialization entirely
+        norm = ybasis = None
+    else:
+        norm = jnp.sqrt(1.0 + xs[:, None] ** 2 + ys[None, :] ** 2)
 
-    comp = [None, None, None]
-    comp[u_ax] = xs[:, None] / norm
-    comp[v_ax] = jnp.broadcast_to(ys[None, :], (Pn, Qn)) / norm
-    comp[axis] = g / norm
-    ybasis = _ybasis_rows(comp[0], comp[1], comp[2], statics.ncoeff, Pn, Qn)
+        comp = [None, None, None]
+        comp[u_ax] = xs[:, None] / norm
+        comp[v_ax] = jnp.broadcast_to(ys[None, :], (Pn, Qn)) / norm
+        comp[axis] = g / norm
+        ybasis = _ybasis_rows(
+            comp[0], comp[1], comp[2], statics.ncoeff, Pn, Qn
+        )
 
     j = jnp.arange(NP, dtype=jnp.float32)
     c_j = (NP - 1 - j) / P if statics.flip else j / P
@@ -1138,14 +1211,14 @@ def _march_gnomonic(
     if _use_fused_composite(statics, nv):
         geo = gnomonic_geometry(
             rotation, origin, statics, height, width, focal, supersample,
-            lite=True,
+            lite=True, skip_basis=True,
         )
         occupancy = gnomonic_occupancy_lite(
             slices, geo.geom, statics, Pn, Qn, PB, Pb, QB, Qb
         )
         state = composite_positions_fused(
-            slices, geo.ybasis, geo.norm, geo.geom, statics, Pn, Qn, PB, Pb,
-            occupancy,
+            slices, None, None, geo.geom, statics, Pn, Qn, PB, Pb,
+            occupancy, xr=geo.xr, yr=geo.yr,
         )
         return state, geo.xr, geo.yr
     geo = gnomonic_geometry(
@@ -1502,6 +1575,45 @@ def _render_poses_batched(slices, rotations, origins, focal, statics, height,
     dispatch costs ~4.3 ms of host time (experiments/probe_dispatch_share.py),
     which bounds per-pose rendering at ~230 poses/s no matter how fast the
     device gets; batching removes the host from the per-pose path entirely."""
+
+    nv = slices.shape[3]
+    if _use_fused_composite(statics, nv):
+        # round-5: the per-pose geometry is dozens of TINY ops (geom [NP, 8],
+        # corner ranges) — inside the lax.map body they execute as ~0.6 ms of
+        # small-kernel launches PER POSE. Hoisting them as one vmapped batch
+        # over all poses turns that into one batched chain for the whole
+        # stack; the map body keeps only the three heavy stages.
+        Pn, Qn, PB, Pb = gnomonic_frame(None, height, width, focal,
+                                        supersample, statics)
+        QB, Qb = _qb_blocks(statics, Qn)
+        geo_b = jax.vmap(
+            lambda rot, org: gnomonic_geometry(
+                rot, org, statics, height, width, focal, supersample,
+                lite=True, skip_basis=True,
+            )
+        )(rotations, origins)
+
+        def one_fused(args):
+            geom, x0, x1, y0, y1, rot = args
+            xr, yr = (x0, x1), (y0, y1)
+            occupancy = gnomonic_occupancy_lite(
+                slices, geom, statics, Pn, Qn, PB, Pb, QB, Qb
+            )
+            state = composite_positions_fused(
+                slices, None, None, geom, statics, Pn, Qn, PB, Pb,
+                occupancy, xr=xr, yr=yr,
+            )
+            return _warp_to_camera(
+                state, xr, yr, rot, statics, height, width, focal,
+                supersample, white_bkgd, warp_order=warp_order,
+                warp_impl=warp_impl, warp_swap=warp_swap,
+            )
+
+        return jax.lax.map(
+            one_fused,
+            (geo_b.geom, geo_b.xr[0], geo_b.xr[1], geo_b.yr[0], geo_b.yr[1],
+             rotations),
+        )
 
     def one(ro):
         rot, org = ro
