@@ -119,6 +119,10 @@ def main(output_path, num_train, num_test, image_size, grid_size, seed, gt_sampl
         camera_bounds=CameraBounds(NEAR, FAR),
         perturb_sampled_points=False,
         white_bkgd=True,
+        # 1024-spp GT renders at the default 32768-ray chunks can exceed
+        # single-chip HBM (compile-time OOM observed at 200px/1024spp);
+        # smaller chunks cost only dispatch count
+        parallel_rays_chunk_size=min(8192, 32768),
     )
     vol_mod = VolumetricModel(
         grid, render_procedure=render_procedure, render_config=config
