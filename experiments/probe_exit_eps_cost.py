@@ -65,7 +65,10 @@ def main():
                 focal=W * 1.1, ray_batch_size=32768, white_bkgd=True,
                 exit_eps=eps,
             )
-            grid, opt_state = grid0, tx.init(grid0)
+            # the step DONATES grid/opt buffers — each config must start from
+            # a fresh copy or the next config would pass deleted arrays
+            grid = jax.tree_util.tree_map(jnp.copy, grid0)
+            opt_state = tx.init(grid)
             key = jax.random.PRNGKey(0)
             # donation: step returns fresh buffers; warm twice (compile+AOT)
             for i in range(3):

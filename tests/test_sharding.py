@@ -200,3 +200,75 @@ def test_bricked_mesh_step_matches_single_device():
     assert float(m_mesh["total_loss"]) == pytest.approx(
         float(m_single["total_loss"]), rel=1e-3
     )
+
+
+def test_bricked_mesh_segment_local_early_exit_within_tolerance():
+    """Round-5: the mesh step runs segment-LOCAL early exit at bst.exit_eps
+    (a segment exiting when its OWN transmittance saturates is conservative-
+    correct: total T <= T_local, so the truncated tail is bounded by eps like
+    the single-device rule). The eps-on mesh step must stay within the eps
+    error budget of the eps-off mesh step on a DENSE scene where exits
+    actually fire."""
+    import numpy as np
+    import optax
+
+    from thr3ed_atom_tpu.models.voxels import VoxelSize, create_voxel_grid
+    from thr3ed_atom_tpu.modules.bricked_trainer import (
+        bricked_train_step_mesh,
+        make_bricked_train_statics,
+    )
+    from thr3ed_atom_tpu.rendering.bricked import dominant_axis_for_pose
+    from thr3ed_atom_tpu.utils.camera import pose_spherical
+
+    GRID, IMG = 17, 48
+    grid = create_voxel_grid(
+        jax.random.PRNGKey(0),
+        grid_dims=(GRID, GRID, GRID),
+        num_features=3,
+        voxel_size=VoxelSize(*(3.0 / GRID,) * 3),
+        density_preactivation="identity",
+        density_postactivation="relu",
+        expected_density_scale=10.0,
+    )
+    # dense: push densities up so transmittance saturates mid-grid
+    import dataclasses
+
+    grid = dataclasses.replace(
+        grid, densities=jnp.abs(grid.densities) * 5.0 + 4.0
+    )
+    rng = np.random.default_rng(0)
+    poses_np = np.stack(
+        [
+            np.hstack([p.rotation, p.translation])
+            for p in (pose_spherical(a, -30.0, 4.0) for a in (15.0, 200.0))
+        ]
+    ).astype(np.float32)
+    images = jnp.asarray(rng.random((2, IMG, IMG, 3), dtype=np.float32))
+    poses = jnp.asarray(poses_np)
+    axis, flip = dominant_axis_for_pose(poses_np[0][:, :3])
+    tx = optax.sgd(0.1)
+    key = jax.random.PRNGKey(3)
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)  # noqa: E731
+
+    outs = {}
+    for eps in (0.0, 1e-4):
+        statics = make_bricked_train_statics(
+            grid, axis, flip, image_height=IMG, image_width=IMG,
+            focal=IMG * 1.1, ray_batch_size=8 * 256, white_bkgd=True,
+            interpret=True, exit_eps=eps,
+        )
+        outs[eps] = bricked_train_step_mesh(
+            statics, tx, (4, 2), copy(grid), tx.init(grid), images, poses,
+            jnp.int32(0), key,
+        )
+    g_off, _, m_off = outs[0.0]
+    g_on, _, m_on = outs[1e-4]
+    assert float(m_on["total_loss"]) == pytest.approx(
+        float(m_off["total_loss"]), rel=1e-3
+    )
+    for a, b in ((g_on.densities, g_off.densities),
+                 (g_on.features, g_off.features)):
+        scale = float(np.abs(np.asarray(b) - np.asarray(grid.densities if b is g_off.densities else grid.features)).max()) + 1e-12
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=0.05 * scale
+        )

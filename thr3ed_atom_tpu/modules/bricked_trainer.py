@@ -310,7 +310,16 @@ def bricked_train_step_mesh(
             out_local = slab_march(
                 tables, counts, rays_feat_l, local_grid,
                 ncoeff=bst.ncoeff, relu_sigma=bst.relu_sigma,
-                exit_eps=0.0,  # segments cannot early-exit independently
+                # segment-LOCAL early exit (round-5): a segment cannot see the
+                # transmittance accumulated upstream, but exiting when its OWN
+                # local transmittance drops below eps is conservative-correct:
+                # total T = T_upstream * T_local <= T_local, so the truncated
+                # tail's contribution is bounded by eps exactly like the
+                # single-device rule. Measured single-chip cost of exit_eps=0
+                # (what this used to hard-code): +16-19% step time
+                # (experiments/probe_exit_eps_cost.py). Tests that assert
+                # exact sharded==unsharded parity pass exit_eps=0 explicitly.
+                exit_eps=bst.exit_eps,
                 with_diffuse=bst.with_diffuse, group_offset=seg_g0,
                 interpret=bst.interpret,
             )
