@@ -1629,6 +1629,45 @@ def _render_poses_batched(slices, rotations, origins, focal, statics, height,
     return jax.lax.map(one, (rotations, origins))
 
 
+@partial(jax.jit, static_argnames=("statics_tuple", "height", "width",
+                                   "ss_tuple", "white_bkgd", "warp_order",
+                                   "warp_impl", "swap_tuple"))
+def _render_poses_switch(slices_tuple, rotations, origins, vidx, focal,
+                         statics_tuple, height, width, ss_tuple, white_bkgd,
+                         warp_order, warp_impl, swap_tuple):
+    """ONE dispatch for a mixed-variant pose stack (round-5): each pose's
+    march variant selects its branch via lax.switch inside a single lax.map,
+    so a whole render pass is one executable + one host dispatch instead of
+    one per (variant, chunk). Every variant's vertex-slice stack rides along
+    (the caller gates on total slices bytes — at 256^3 a 6-variant stack
+    would not fit HBM and the per-group path is used instead)."""
+
+    def one(args):
+        rot, org, v = args
+
+        def make_branch(b):
+            st = statics_tuple[b]
+
+            def branch(ro):
+                rot_, org_ = ro
+                state, xr, yr = _march_gnomonic(
+                    slices_tuple[b], rot_, org_, st, height, width, focal,
+                    ss_tuple[b],
+                )
+                return _warp_to_camera(
+                    state, xr, yr, rot_, st, height, width, focal,
+                    ss_tuple[b], white_bkgd, warp_order=warp_order,
+                    warp_impl=warp_impl, warp_swap=swap_tuple[b],
+                )
+
+            return branch
+
+        branches = [make_branch(b) for b in range(len(statics_tuple))]
+        return jax.lax.switch(v, branches, (rot, org))
+
+    return jax.lax.map(one, (rotations, origins, vidx))
+
+
 def render_poses_gnomonic(
     voxel_grid: VoxelGrid,
     camera_poses,
@@ -1680,9 +1719,12 @@ def render_poses_gnomonic(
             swap = warp_swap_for_pose(rot, axis, flip, height, width, focal)
         groups.setdefault((axis, flip, swap), []).append(i)
 
-    order: list = []
-    outputs: list = []
-    for (axis, flip, swap), idx in groups.items():
+    # per-variant resources (statics, supersample, repacked slices)
+    var_keys = list(groups)
+    var_statics: list = []
+    var_ss: list = []
+    var_slices: list = []
+    for axis, flip, swap in var_keys:
         statics = statics_for_grid(
             voxel_grid,
             axis,
@@ -1714,25 +1756,73 @@ def render_poses_gnomonic(
                 cache[cache_key] = (
                     voxel_grid.densities, voxel_grid.features, slices
                 )
-        for start in range(0, len(idx), group_batch):
-            chunk = idx[start:start + group_batch]
+        var_statics.append(statics)
+        var_ss.append(supersample)
+        var_slices.append(slices)
+
+    order: list = []
+    outputs: list = []
+    # NOTE (round-5 negative result, chip-measured): merging all variants
+    # into one dispatch per chunk (lax.switch on the pose's variant inside
+    # one lax.map) is SLOWER than per-variant-group dispatches — 40.4M vs
+    # 45.0M rays/s on the 100-pose bench. The saved host dispatches were
+    # already hidden behind device compute; the mixed-variant loop body
+    # costs more than they did. Kept behind a default-off flag for
+    # re-evaluation on faster-host deployments.
+    use_switch = bool(getattr(config, "gnomonic_single_dispatch", False))
+    total_slices_bytes = sum(int(s.nbytes) for s in var_slices)
+    if use_switch and len(var_keys) > 1 and total_slices_bytes <= 2 * 1024**3:
+        # single-dispatch mixed-variant path: every variant's slices fit HBM
+        # together, so each chunk of poses (in INPUT order, variants mixed)
+        # renders as one lax.map whose body lax.switches on the pose's
+        # variant — one executable + one dispatch per chunk instead of one
+        # per (variant, chunk)
+        pose_variant = np.empty(len(rotations), np.int32)
+        for b, vk in enumerate(var_keys):
+            pose_variant[np.asarray(groups[vk], np.int64)] = b
+        n = len(rotations)
+        for start in range(0, n, group_batch):
+            chunk = list(range(start, min(start + group_batch, n)))
             order.extend(chunk)
             outputs.append(
-                _render_poses_batched(
-                    slices,
+                _render_poses_switch(
+                    tuple(var_slices),
                     jnp.asarray(np.stack([rotations[i] for i in chunk])),
                     jnp.asarray(np.stack([origins[i] for i in chunk])),
+                    jnp.asarray(pose_variant[np.asarray(chunk)]),
                     jnp.float32(focal),
-                    statics,
+                    tuple(var_statics),
                     height,
                     width,
-                    supersample,
+                    tuple(var_ss),
                     bool(config.white_bkgd),
                     warp_order,
                     warp_impl,
-                    swap,
+                    tuple(vk[2] for vk in var_keys),
                 )
             )
+    else:
+        for b, (axis, flip, swap) in enumerate(var_keys):
+            idx = groups[(axis, flip, swap)]
+            for start in range(0, len(idx), group_batch):
+                chunk = idx[start:start + group_batch]
+                order.extend(chunk)
+                outputs.append(
+                    _render_poses_batched(
+                        var_slices[b],
+                        jnp.asarray(np.stack([rotations[i] for i in chunk])),
+                        jnp.asarray(np.stack([origins[i] for i in chunk])),
+                        jnp.float32(focal),
+                        var_statics[b],
+                        height,
+                        width,
+                        var_ss[b],
+                        bool(config.white_bkgd),
+                        warp_order,
+                        warp_impl,
+                        swap,
+                    )
+                )
     inverse = np.empty(len(order), np.int64)
     inverse[np.asarray(order)] = np.arange(len(order))
     inv = jnp.asarray(inverse)
