@@ -817,9 +817,14 @@ def _make_composite_kernel_fused(NP, Pb, Qb, QB, PB, nu, nv, C, ncoeff,
         bv = geom_ref[j, 4]
         kv = geom_ref[j, 5]
 
-        # ---- u-resample this position's slice once (at the first q-block)
-        @pl.when((qb == 0) & (pa_ref[pb, j] > 0) & (_KPROF != "nou"))
-        def _():
+        # ---- u-resample this position's slice once (at the first q-block).
+        # NOT exit-gated (round-5 negative result, chip-measured): gating
+        # this dot on the stripe's transmittance makes position j+1's t1m
+        # build data-depend on position j's state writes, serializing what
+        # Mosaic otherwise overlaps — 45.6 -> 43.5M rays/s nested inside the
+        # when (and 39.5M with the check hoisted to every grid step). The
+        # occupancy gate (pa) has no such dependency and stays.
+        def _u_resample_body():
             sl = _mix_vertex_slices(sl_a_ref, sl_b_ref, j, P)
             p_io = jax.lax.broadcasted_iota(jnp.int32, (Pb, nu), 0)
             u_io = jax.lax.broadcasted_iota(jnp.int32, (Pb, nu), 1)
@@ -833,6 +838,10 @@ def _make_composite_kernel_fused(NP, Pb, Qb, QB, PB, nu, nv, C, ncoeff,
                 w_u.astype(jnp.bfloat16), sl,
                 preferred_element_type=jnp.float32,
             ).astype(jnp.bfloat16)  # [Pb, C*nv]
+
+        pl.when((qb == 0) & (pa_ref[pb, j] > 0) & (_KPROF != "nou"))(
+            _u_resample_body
+        )
 
         work = pn_ref[pb, qb, j] > 0
         if exit_eps > 0.0:
